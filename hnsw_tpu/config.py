@@ -1,0 +1,160 @@
+"""Configuration dataclasses for hnsw_tpu.
+
+Defaults mirror the reference library for capability parity
+(reference: graph.go:340-348 — M=16, Ml=0.25, EfSearch=20, cosine).
+All configs are plain dataclasses with explicit ``validate()`` methods,
+matching the reference idiom of config structs + ``Validate()``
+(reference: graph.go:916-937, hybrid/hybrid.go:85-122).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+#: Supported metrics. "cosine" and "l2" ("euclidean") match the reference
+#: registry (reference: distance.go:25-28); "sqeuclidean" and "dot" are
+#: TPU-friendly extras (monotone transforms / inner-product search).
+METRICS = ("cosine", "l2", "euclidean", "sqeuclidean", "dot")
+
+
+def canonical_metric(name: str) -> str:
+    n = name.lower()
+    if n == "euclidean":
+        return "l2"
+    if n not in METRICS:
+        raise ValueError(f"unknown metric {name!r}; supported: {METRICS}")
+    return n
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """HNSW graph hyper-parameters.
+
+    Mirrors reference ``Graph`` fields (graph.go:305-332) with the same
+    defaults (graph.go:340-348).
+    """
+
+    m: int = 16            # max neighbors per node per layer (graph.go:316)
+    ml: float = 0.25       # level generation factor (graph.go:320)
+    ef_search: int = 20    # search beam width (graph.go:325)
+    metric: str = "cosine"
+    seed: int = 0          # level-sampling RNG seed (graph.go:312 Rng)
+    #: max beam-search hops per layer; static bound required by XLA.
+    #: The reference terminates on "no improvement" (graph.go:164-166);
+    #: we run a masked while_loop with this upper bound as a safety net.
+    max_hops: int = 128
+    #: dtype for on-device vector storage ("float32" or "bfloat16").
+    store_dtype: str = "float32"
+
+    def validate(self) -> None:
+        # Mirrors reference Graph.Validate (graph.go:916-937).
+        if self.m <= 0:
+            raise ValueError(f"m must be greater than 0, got {self.m}")
+        if not (0.0 < self.ml <= 1.0):
+            raise ValueError(f"ml must be in (0, 1], got {self.ml}")
+        if self.ef_search <= 0:
+            raise ValueError(
+                f"ef_search must be greater than 0, got {self.ef_search}")
+        canonical_metric(self.metric)
+        if self.store_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"bad store_dtype {self.store_dtype}")
+
+    def replace(self, **kw) -> "GraphConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridConfig:
+    """Hybrid index configuration.
+
+    Mirrors reference ``IndexConfig`` defaults (hybrid/hybrid.go:85-122).
+    """
+
+    exact_threshold: int = 1000
+    m: int = 16
+    ml: float = 0.25
+    ef_search: int = 20
+    metric: str = "cosine"
+    num_hash_tables: int = 4
+    num_hash_bits: int = 8
+    num_partitions: int = 10
+    partition_size: int = 10000
+    seed: int = 42  # reference LSH/partitioner use fixed seed 42 (lsh.go:64)
+
+    def validate(self) -> None:
+        if self.exact_threshold < 0:
+            raise ValueError("exact_threshold must be >= 0")
+        if self.num_hash_tables <= 0 or self.num_hash_bits <= 0:
+            raise ValueError("hash table params must be > 0")
+        if self.num_hash_bits > 63:
+            raise ValueError("num_hash_bits must fit in int64")
+        if self.num_partitions <= 0 or self.partition_size <= 0:
+            raise ValueError("partition params must be > 0")
+        canonical_metric(self.metric)
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveConfig:
+    """Adaptive strategy-selector configuration.
+
+    Mirrors reference ``AdaptiveConfig`` defaults (hybrid/adaptive.go:73-85).
+    """
+
+    window_size: int = 100
+    latency_weight: float = 0.6
+    recall_weight: float = 0.3
+    success_rate_weight: float = 0.1
+    learning_rate: float = 0.05
+    initial_exact_threshold: int = 1000
+    initial_dim_threshold: int = 500
+    exploration_factor: float = 0.1
+    min_samples_for_adaptation: int = 20
+
+    def validate(self) -> None:
+        if self.window_size <= 0:
+            raise ValueError("window_size must be > 0")
+        if not (0 <= self.exploration_factor <= 1):
+            raise ValueError("exploration_factor must be in [0,1]")
+
+
+@dataclasses.dataclass(frozen=True)
+class StoreConfig:
+    """Disk-backed store configuration (Parquet/Arrow persistence + WAL).
+
+    Mirrors reference ``ParquetStorageConfig`` / ``IncrementalConfig``
+    defaults (parquet/storage.go:18-48, parquet/incremental.go:37-51).
+    """
+
+    directory: str = ""
+    compression: str = "snappy"
+    max_pending_writes: int = 1000
+    wal_max_changes: int = 1000
+    wal_max_age_seconds: float = 3600.0
+    wal_max_log_files: int = 5
+    format: str = "parquet"  # "parquet" | "arrow" | "npz"
+
+    def validate(self) -> None:
+        if not self.directory:
+            raise ValueError("directory must be set")
+        if self.format not in ("parquet", "arrow", "npz"):
+            raise ValueError(f"bad format {self.format}")
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """Multi-device execution configuration (TPU mesh).
+
+    No reference analogue — the reference is single-process
+    (SURVEY.md §2.7); this is the TPU-native scale-out axis.
+    """
+
+    #: mesh axis name used for sharding vectors / queries.
+    data_axis: str = "data"
+    #: how to shard: "queries" (replicated index, sharded query batch),
+    #: "rows" (sharded vector rows, all-gathered top-k merge).
+    strategy: str = "rows"
+
+    def validate(self) -> None:
+        if self.strategy not in ("queries", "rows"):
+            raise ValueError(f"bad strategy {self.strategy}")

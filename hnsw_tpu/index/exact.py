@@ -1,0 +1,139 @@
+"""Exact (brute-force) index.
+
+Capability parity with the reference ``ExactIndex`` (hybrid/exact.go:13,
+61-111) — but instead of a per-query linear scan with insertion sort, the
+whole dataset is scored in one batched MXU matmul sweep with a running
+top-k (ops/topk.exact_topk). This is also the recall ground-truth oracle,
+the role the reference gives it in hybrid/benchmark_test.go:273.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Hashable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.config import canonical_metric
+from hnsw_tpu.ops.distance import INF_DIST
+from hnsw_tpu.ops.topk import exact_topk
+from hnsw_tpu.utils.keystore import HostVectorStore, SlotMap
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class ExactIndex:
+    """Brute-force k-NN index with a host key map and a device vector store.
+
+    API mirrors the reference VectorIndex/SearchableIndex interfaces
+    (hybrid/hybrid.go:15-60): add / batch_add / search / batch_search /
+    delete / batch_delete / __len__ / close.
+    """
+
+    def __init__(self, dim: Optional[int] = None, metric: str = "cosine"):
+        self.metric = canonical_metric(metric)
+        self.slots = SlotMap()
+        self.store = HostVectorStore(dim)
+        self._dev: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None
+        self._dirty = True
+
+    # -- mutation ----------------------------------------------------------
+    def add(self, key: Hashable, vector) -> None:
+        slot, _ = self.slots.assign(key)
+        self.store.put(slot, np.asarray(vector, np.float32))
+        self._dirty = True
+
+    def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
+        vectors = np.asarray(vectors, np.float32)
+        if len(keys) != len(vectors):
+            raise ValueError("keys/vectors length mismatch")
+        slot_list = [self.slots.assign(k)[0] for k in keys]
+        self.store.put_batch(np.asarray(slot_list, np.int64), vectors)
+        self._dirty = True
+
+    def delete(self, key: Hashable) -> bool:
+        slot = self.slots.release(key)
+        if slot is None:
+            return False
+        self.store.kill(slot)
+        self._dirty = True
+        return True
+
+    def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
+        return [self.delete(k) for k in keys]
+
+    def __len__(self) -> int:
+        return len(self.slots)
+
+    def close(self) -> None:
+        self._dev = None
+
+    # -- search ------------------------------------------------------------
+    def _sync(self):
+        if self._dirty or self._dev is None:
+            n = self.slots.capacity_used
+            n_pad = max(_bucket(n, 8), 8)
+            v = np.zeros((n_pad, self.store.dim), np.float32)
+            sq = np.zeros((n_pad,), np.float32)
+            alive = np.zeros((n_pad,), bool)
+            if n:
+                v[:n] = self.store.vectors[:n]
+                sq[:n] = self.store.sq_norms[:n]
+                alive[:n] = self.store.alive[:n]
+            self._dev = (jnp.asarray(v), jnp.asarray(sq), jnp.asarray(alive))
+            self._dirty = False
+        return self._dev
+
+    def batch_search_slots(self, queries: np.ndarray, k: int
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Core search: returns (dists [Q,k], slot ids [Q,k]; -1 = none)."""
+        if k <= 0:
+            raise ValueError(f"k must be greater than 0, got {k}")
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if len(self.slots) == 0:
+            q = queries.shape[0]
+            return (np.full((q, k), INF_DIST, np.float32),
+                    np.full((q, k), -1, np.int64))
+        self.store.ensure_dim(queries.shape[-1])
+        v, sq, alive = self._sync()
+        nq = queries.shape[0]
+        q_pad = _bucket(nq)
+        if q_pad != nq:
+            queries = np.pad(queries, ((0, q_pad - nq), (0, 0)))
+        d, i = exact_topk(jnp.asarray(queries), v, sq, alive,
+                          k=k, metric=self.metric)
+        d = np.asarray(d[:nq])
+        i = np.asarray(i[:nq], np.int64)
+        return d, i
+
+    def batch_search(self, queries, k: int
+                     ) -> Tuple[List[List[Any]], np.ndarray]:
+        """Returns (keys [Q][<=k], dists [Q,k]) like SearchableIndex
+        (hybrid/hybrid.go:39-60)."""
+        d, i = self.batch_search_slots(np.asarray(queries, np.float32), k)
+        keys = [self.slots.keys_for(row) for row in i]
+        return keys, d
+
+    def search(self, query, k: int) -> List[Tuple[Any, float]]:
+        """Single-query convenience: [(key, dist), ...] trimmed of misses."""
+        d, i = self.batch_search_slots(np.asarray(query, np.float32)[None], k)
+        out = []
+        for dist, slot in zip(d[0], i[0]):
+            if slot < 0:
+                continue
+            out.append((self.slots.key_of(int(slot)), float(dist)))
+        return out
+
+    # -- introspection -------------------------------------------------------
+    def vector_of(self, key: Hashable) -> Optional[np.ndarray]:
+        s = self.slots.slot_of(key)
+        return None if s is None else np.array(self.store.get(s))
+
+    def keys(self) -> List[Any]:
+        return list(self.slots.key_to_slot.keys())

@@ -1,0 +1,110 @@
+"""Top-k selection ops.
+
+The reference's bounded result/candidate heaps (heap/heap.go:42-95,
+graph.go:107-160) collapse on TPU into ``lax.top_k`` over fixed-width
+score rows. For exact search over large N we stream the score matrix in
+chunks with a running top-k merge (O(Q*(k+chunk)) memory instead of
+O(Q*N)), which is also the shape a future Pallas fused kernel takes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.ops.distance import INF_DIST, pairwise_dist
+
+
+def topk_smallest(dists: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Smallest-k along the last axis. Returns (dists [.., k], idx [.., k])."""
+    neg, idx = jax.lax.top_k(-dists, k)
+    return -neg, idx
+
+
+def merge_topk(d_a, i_a, d_b, i_b, k: int):
+    """Merge two top-k candidate sets (per row) into one top-k."""
+    d = jnp.concatenate([d_a, d_b], axis=-1)
+    i = jnp.concatenate([i_a, i_b], axis=-1)
+    dk, pos = topk_smallest(d, k)
+    ik = jnp.take_along_axis(i, pos, axis=-1)
+    return dk, ik
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def exact_topk(queries: jnp.ndarray, vectors: jnp.ndarray,
+               v_sq: jnp.ndarray, valid: jnp.ndarray,
+               k: int, metric: str = "cosine",
+               chunk: int = 16384) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN: brute-force scan of all vectors.
+
+    TPU-native equivalent of the reference ExactIndex linear scan
+    (hybrid/exact.go:61-111) — but batched: one call scores Q queries
+    against N vectors via chunked MXU matmuls with a running top-k.
+
+    queries: [Q, D]; vectors: [N, D]; v_sq: [N]; valid: [N] bool.
+    Returns (dists [Q, k], indices [Q, k]); invalid rows get INF_DIST/-1.
+    """
+    n = vectors.shape[0]
+    q = queries.astype(jnp.float32)
+    q_sq = jnp.sum(q * q, axis=-1)
+
+    if n <= chunk:
+        d = pairwise_dist(q, vectors, v_sq=v_sq, q_sq=q_sq, metric=metric)
+        d = jnp.where(valid[None, :], d, INF_DIST)
+        dk, ik = topk_smallest(d, min(k, n))
+        if k > n:  # pad when fewer vectors than k
+            pad = k - n
+            dk = jnp.pad(dk, ((0, 0), (0, pad)), constant_values=INF_DIST)
+            ik = jnp.pad(ik, ((0, 0), (0, pad)), constant_values=-1)
+        ik = jnp.where(dk >= INF_DIST, -1, ik)
+        return dk, ik
+
+    # Chunked scan with running top-k merge.
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    pad = n_pad - n
+    vpad = jnp.pad(vectors, ((0, pad), (0, 0)))
+    sqpad = jnp.pad(v_sq, (0, pad))
+    vldpad = jnp.pad(valid, (0, pad), constant_values=False)
+    n_chunks = n_pad // chunk
+    vc = vpad.reshape(n_chunks, chunk, -1)
+    sc = sqpad.reshape(n_chunks, chunk)
+    lc = vldpad.reshape(n_chunks, chunk)
+
+    kk = min(k, chunk)
+    init_d = jnp.full((q.shape[0], kk), INF_DIST, jnp.float32)
+    init_i = jnp.full((q.shape[0], kk), -1, jnp.int32)
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        vec, sq, vld, base = xs
+        d = pairwise_dist(q, vec, v_sq=sq, q_sq=q_sq, metric=metric)
+        d = jnp.where(vld[None, :], d, INF_DIST)
+        dk, ik = topk_smallest(d, kk)
+        ik = ik + base
+        best_d, best_i = merge_topk(best_d, best_i, dk, ik, kk)
+        return (best_d, best_i), None
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (dk, ik), _ = jax.lax.scan(body, (init_d, init_i), (vc, sc, lc, bases))
+    if k > kk:
+        dk = jnp.pad(dk, ((0, 0), (0, k - kk)), constant_values=INF_DIST)
+        ik = jnp.pad(ik, ((0, 0), (0, k - kk)), constant_values=-1)
+    ik = jnp.where(dk >= INF_DIST, -1, ik)
+    return dk, ik
+
+
+def np_exact_topk(queries: np.ndarray, vectors: np.ndarray, k: int,
+                  metric: str = "cosine") -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side exact k-NN oracle (ground truth for recall harnesses,
+    mirroring hybrid/benchmark_test.go:273's pattern)."""
+    from hnsw_tpu.ops.distance import np_pairwise_dist
+    d = np_pairwise_dist(queries, vectors, metric)
+    k = min(k, vectors.shape[0])
+    idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+    dd = np.take_along_axis(d, idx, axis=1)
+    order = np.argsort(dd, axis=1, kind="stable")
+    return np.take_along_axis(dd, order, axis=1), np.take_along_axis(idx, order, axis=1)

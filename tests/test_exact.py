@@ -1,0 +1,83 @@
+"""ExactIndex tests — ground-truth correctness, mutation, chunked path."""
+
+import numpy as np
+import pytest
+
+from hnsw_tpu.index.exact import ExactIndex
+from hnsw_tpu.ops.topk import np_exact_topk
+from tests.conftest import make_vectors
+
+
+def test_exact_search_matches_numpy_oracle():
+    v = make_vectors(200, 32, seed=4)
+    idx = ExactIndex(metric="cosine")
+    idx.batch_add(list(range(200)), v)
+    q = make_vectors(7, 32, seed=5)
+    keys, dists = idx.batch_search(q, 10)
+    gt_d, gt_i = np_exact_topk(q, v, 10, "cosine")
+    for qi in range(7):
+        assert [int(k) for k in keys[qi]] == list(gt_i[qi])
+        np.testing.assert_allclose(dists[qi], gt_d[qi], rtol=1e-4, atol=1e-4)
+
+
+def test_exact_chunked_path():
+    from hnsw_tpu.ops.topk import exact_topk
+    import jax.numpy as jnp
+    v = make_vectors(1000, 16, seed=6)
+    q = make_vectors(4, 16, seed=7)
+    sq = np.sum(v * v, axis=1).astype(np.float32)
+    valid = np.ones(1000, bool)
+    d_c, i_c = exact_topk(jnp.asarray(q), jnp.asarray(v), jnp.asarray(sq),
+                          jnp.asarray(valid), k=5, metric="l2", chunk=128)
+    gt_d, gt_i = np_exact_topk(q, v, 5, "l2")
+    np.testing.assert_array_equal(np.asarray(i_c), gt_i)
+    np.testing.assert_allclose(np.asarray(d_c), gt_d, rtol=1e-4, atol=1e-4)
+
+
+def test_delete_and_reuse():
+    v = make_vectors(20, 8, seed=8)
+    idx = ExactIndex()
+    idx.batch_add([f"k{i}" for i in range(20)], v)
+    assert len(idx) == 20
+    assert idx.delete("k3")
+    assert not idx.delete("k3")
+    assert len(idx) == 19
+    keys, _ = idx.batch_search(v[3:4], 20)
+    assert "k3" not in keys[0]
+    # Slot reuse: add a new key, search still consistent.
+    idx.add("fresh", v[3])
+    keys, d = idx.batch_search(v[3:4], 1)
+    assert keys[0][0] == "fresh"
+    assert d[0][0] < 1e-5
+
+
+def test_duplicate_key_replaces():
+    idx = ExactIndex()
+    idx.add(1, np.ones(4, np.float32))
+    idx.add(1, -np.ones(4, np.float32))
+    assert len(idx) == 1
+    res = idx.search(-np.ones(4, np.float32), 1)
+    assert res[0][0] == 1 and res[0][1] < 1e-5
+
+
+def test_dim_mismatch_raises():
+    idx = ExactIndex()
+    idx.add(1, np.ones(4, np.float32))
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        idx.add(2, np.ones(5, np.float32))
+
+
+def test_empty_and_k_validation():
+    idx = ExactIndex()
+    with pytest.raises(ValueError, match="k must be greater than 0"):
+        idx.batch_search_slots(np.zeros((1, 4), np.float32), 0)
+    keys, d = idx.batch_search(np.zeros((2, 4), np.float32), 3)
+    assert keys == [[None] * 3, [None] * 3]
+
+
+def test_k_larger_than_n():
+    v = make_vectors(3, 4, seed=9)
+    idx = ExactIndex()
+    idx.batch_add([0, 1, 2], v)
+    res = idx.search(v[0], 10)
+    assert len(res) == 3
