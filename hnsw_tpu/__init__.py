@@ -12,3 +12,4 @@ __version__ = "0.1.0"
 from hnsw_tpu.config import (AdaptiveConfig, GraphConfig, HybridConfig,
                              ShardingConfig, StoreConfig)
 from hnsw_tpu.index.exact import ExactIndex
+from hnsw_tpu.index.hnsw import Graph

@@ -38,6 +38,11 @@ class GraphConfig:
     m: int = 16            # max neighbors per node per layer (graph.go:316)
     ml: float = 0.25       # level generation factor (graph.go:320)
     ef_search: int = 20    # search beam width (graph.go:325)
+    #: construction-time beam width. The reference reuses EfSearch for
+    #: insert searches (graph.go:500), which caps graph quality hard on
+    #: unstructured data; a dedicated (larger) construction beam is the
+    #: standard HNSW design and a deliberate improvement.
+    ef_construction: int = 100
     metric: str = "cosine"
     seed: int = 0          # level-sampling RNG seed (graph.go:312 Rng)
     #: max beam-search hops per layer; static bound required by XLA.
@@ -56,6 +61,10 @@ class GraphConfig:
         if self.ef_search <= 0:
             raise ValueError(
                 f"ef_search must be greater than 0, got {self.ef_search}")
+        if self.ef_construction <= 0:
+            raise ValueError(
+                f"ef_construction must be greater than 0, "
+                f"got {self.ef_construction}")
         canonical_metric(self.metric)
         if self.store_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"bad store_dtype {self.store_dtype}")

@@ -1,0 +1,166 @@
+"""Batched hierarchical beam search — the engine's hot path.
+
+TPU-native redesign of the reference's greedy beam search
+(graph.go:94-170 ``layerNode.search``) and layer descent
+(graph.go:534-625 ``Graph.Search``): instead of one pointer-chase with
+Go heaps per query, B queries traverse the graph in lockstep. Each hop:
+
+  1. select each query's best unexpanded pool entry       (VPU argmin)
+  2. gather its M neighbor ids + vectors                  (HBM gather)
+  3. score all B*M candidates at once                     (MXU einsum)
+  4. merge into the per-query pool with lax.top_k         (VPU sort)
+
+The bounded result/candidate heap pair of the reference becomes a single
+fixed-width pool of size P = max(ef, k) with per-entry "expanded" flags —
+the classic array formulation of HNSW searchLayer. Termination matches
+the reference's no-improvement rule (graph.go:164-166): a query goes
+inactive when its best unexpanded candidate is no better than its worst
+pool entry; a static max_hops bounds the XLA while_loop.
+
+The reference's ParallelSearch worker fan-out (graph.go:631-826) is
+subsumed: batching IS the parallelism.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hnsw_tpu.config import canonical_metric
+from hnsw_tpu.core.state import DeviceGraph
+from hnsw_tpu.ops.distance import INF_DIST, gathered_dist
+from hnsw_tpu.ops.topk import topk_smallest
+
+
+def _entry_dist(g: DeviceGraph, queries, q_sq, entry_ids, metric, precision):
+    vecs = g.vectors[entry_ids]             # [B, D]
+    sq = g.sq_norms[entry_ids]              # [B]
+    d = gathered_dist(queries, vecs[:, None, :], sq[:, None], q_sq,
+                      metric=metric, precision=precision)[:, 0]
+    return jnp.where(entry_ids >= 0, d, INF_DIST)
+
+
+def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
+                      q_sq: jnp.ndarray, start_ids: jnp.ndarray,
+                      start_d: jnp.ndarray, pool_size: int, max_hops: int,
+                      metric: str, precision
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam search one layer for a batch of queries.
+
+    Returns (pool_dists [B, P], pool_ids [B, P]) sorted ascending;
+    empty slots are (INF_DIST, -1).
+    """
+    B = queries.shape[0]
+    cap = g.cap
+    P = pool_size
+    M = g.m
+    neigh = g.neighbors[layer]              # [cap, M]
+    rows = jnp.arange(B)
+
+    # Pool init: the start node occupies slot 0 (mirrors the reference
+    # pushing the entry into the result set first, graph.go:122).
+    pool_i = jnp.full((B, P), -1, jnp.int32).at[:, 0].set(start_ids)
+    pool_d = jnp.full((B, P), INF_DIST, jnp.float32).at[:, 0].set(start_d)
+    expanded = jnp.zeros((B, P), bool)
+    visited = jnp.zeros((B, cap), bool).at[rows, jnp.clip(start_ids, 0, cap - 1)].set(True)
+
+    def active_and_sel(pool_d, pool_i, expanded):
+        sel_d = jnp.where(expanded | (pool_i < 0), INF_DIST, pool_d)
+        j = jnp.argmin(sel_d, axis=1)                       # [B]
+        best = sel_d[rows, j]
+        worst = jnp.max(pool_d, axis=1)                     # INF when not full
+        active = best < worst                               # no-improvement rule
+        return j, active
+
+    def cond(state):
+        pool_d, pool_i, expanded, visited, hop = state
+        _, active = active_and_sel(pool_d, pool_i, expanded)
+        return (hop < max_hops) & jnp.any(active)
+
+    def body(state):
+        pool_d, pool_i, expanded, visited, hop = state
+        j, active = active_and_sel(pool_d, pool_i, expanded)
+        cur = pool_i[rows, j]
+        cur_safe = jnp.clip(jnp.where(active, cur, 0), 0, cap - 1)
+        expanded = expanded.at[rows, j].max(active)
+
+        nbrs = neigh[cur_safe]                              # [B, M]
+        nb_ok = (nbrs >= 0) & active[:, None]
+        nb_safe = jnp.clip(jnp.where(nb_ok, nbrs, 0), 0, cap - 1)
+        seen = visited[rows[:, None], nb_safe]
+        is_alive = g.alive[nb_safe]
+        eval_mask = nb_ok & (~seen) & is_alive
+        visited = visited.at[rows[:, None], nb_safe].max(nb_ok)
+
+        cand_vecs = g.vectors[nb_safe]                      # [B, M, D]
+        cand_sq = g.sq_norms[nb_safe]                       # [B, M]
+        d = gathered_dist(queries, cand_vecs, cand_sq, q_sq,
+                          metric=metric, precision=precision)
+        d = jnp.where(eval_mask, d, INF_DIST)
+        new_i = jnp.where(eval_mask, nbrs, -1)
+
+        md = jnp.concatenate([pool_d, d], axis=1)           # [B, P+M]
+        mi = jnp.concatenate([pool_i, new_i], axis=1)
+        me = jnp.concatenate([expanded, jnp.zeros((B, M), bool)], axis=1)
+        pd, pos = topk_smallest(md, P)
+        pool_d = pd
+        pool_i = jnp.take_along_axis(mi, pos, axis=1)
+        expanded = jnp.take_along_axis(me, pos, axis=1)
+        return pool_d, pool_i, expanded, visited, hop + 1
+
+    state = (pool_d, pool_i, expanded, visited, jnp.int32(0))
+    pool_d, pool_i, expanded, visited, _ = jax.lax.while_loop(cond, body, state)
+    # Final sort (top_k over P yields ascending order).
+    pd, pos = topk_smallest(pool_d, P)
+    pi = jnp.take_along_axis(pool_i, pos, axis=1)
+    pi = jnp.where(pd >= INF_DIST, -1, pi)
+    return pd, pi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric", "max_hops", "fast_math"))
+def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
+                 metric: str = "cosine", max_hops: int = 128,
+                 fast_math: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full hierarchical search for a batch of queries.
+
+    Mirrors Graph.Search's descent (graph.go:571-593): ef-beam with
+    result width 1 on upper layers ("elevator"), full (ef, k) beam at
+    layer 0. Returns (dists [B, k], slot ids [B, k]); -1 = no result.
+
+    ``fast_math`` drops per-hop einsums to DEFAULT matmul precision
+    (bf16 inputs on MXU) — fine for traversal ordering; final layer-0
+    distances are still computed at HIGHEST for exact reported values.
+    """
+    metric = canonical_metric(metric)
+    precision = (jax.lax.Precision.DEFAULT if fast_math
+                 else jax.lax.Precision.HIGHEST)
+    B = queries.shape[0]
+    queries = queries.astype(jnp.float32)
+    q_sq = jnp.sum(queries * queries, axis=-1)
+    L = g.num_layers
+    P0 = max(ef, k)
+
+    entry_ids = jnp.broadcast_to(g.entry, (B,)).astype(jnp.int32)
+    entry_d = _entry_dist(g, queries, q_sq, entry_ids, metric, precision)
+
+    # Upper layers: beam of ef, take the best as next layer's entry
+    # (reference search(1, efSearch) + elevator, graph.go:578-585).
+    for layer in range(L - 1, 0, -1):
+        pd, pi = beam_search_layer(g, layer, queries, q_sq, entry_ids,
+                                   entry_d, pool_size=ef, max_hops=max_hops,
+                                   metric=metric, precision=precision)
+        best_i, best_d = pi[:, 0], pd[:, 0]
+        keep = best_i >= 0
+        entry_ids = jnp.where(keep, best_i, entry_ids)
+        entry_d = jnp.where(keep, best_d, entry_d)
+
+    pd, pi = beam_search_layer(g, 0, queries, q_sq, entry_ids, entry_d,
+                               pool_size=P0, max_hops=max_hops,
+                               metric=metric, precision=precision)
+    return pd[:, :k], pi[:, :k]

@@ -1,0 +1,92 @@
+"""Device-resident graph state.
+
+THE central design decision of the rebuild (SURVEY.md §7.1): the three
+pointer-graph HNSW implementations of the reference (graph.go,
+parquet/graph.go, arrow/graph.go) collapse into ONE fixed-shape array
+representation that lives in HBM:
+
+    vectors   f32[cap, D]      raw vectors (row = dense slot id)
+    sq_norms  f32[cap]         cached squared norms (distance epilogues)
+    neighbors i32[L, cap, M]   per-layer fixed-degree adjacency, -1 = empty
+    levels    i32[cap]         node's max layer, -1 = free slot
+    alive     bool[cap]        tombstones (batch delete = mask flip)
+    entry     i32 scalar       entry slot (a node on the top layer)
+
+Keys never reach the device (utils/keystore.SlotMap holds them). All
+shapes are static under jit; growth re-buckets cap (doubling) and L,
+which triggers a recompile — rare by design (log-many times over an
+index's life).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class DeviceGraph(NamedTuple):
+    vectors: jnp.ndarray   # [cap, D] float32 (or bfloat16 store)
+    sq_norms: jnp.ndarray  # [cap] float32
+    neighbors: jnp.ndarray  # [L, cap, M] int32, -1 padded
+    levels: jnp.ndarray    # [cap] int32, -1 = unused
+    alive: jnp.ndarray     # [cap] bool
+    entry: jnp.ndarray     # [] int32
+
+    @property
+    def cap(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.vectors.shape[1]
+
+    @property
+    def num_layers(self) -> int:
+        return self.neighbors.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.neighbors.shape[2]
+
+
+def bucket_pow2(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
+              neighbors: np.ndarray, levels: np.ndarray,
+              alive: np.ndarray, entry: int,
+              cap_pad: int | None = None,
+              store_dtype=np.float32) -> DeviceGraph:
+    """Upload padded host arrays to device, bucketing capacity."""
+    n = vectors.shape[0]
+    cap = cap_pad if cap_pad is not None else bucket_pow2(n)
+    L, _, m = neighbors.shape
+
+    def pad_rows(a, fill):
+        if a.shape[-2 if a.ndim == 3 else 0] == cap:
+            return a
+        if a.ndim == 3:
+            out = np.full((L, cap, m), fill, a.dtype)
+            out[:, :n] = a
+        elif a.ndim == 2:
+            out = np.zeros((cap, a.shape[1]), a.dtype)
+            out[:n] = a
+        else:
+            out = np.full((cap,), fill, a.dtype)
+            out[:n] = a
+        return out
+
+    return DeviceGraph(
+        vectors=jnp.asarray(pad_rows(vectors.astype(store_dtype), 0)),
+        sq_norms=jnp.asarray(pad_rows(sq_norms.astype(np.float32), 0)),
+        neighbors=jnp.asarray(pad_rows(neighbors.astype(np.int32), -1)),
+        levels=jnp.asarray(pad_rows(levels.astype(np.int32), -1)),
+        alive=jnp.asarray(pad_rows(alive.astype(bool), False)),
+        entry=jnp.asarray(np.int32(entry)),
+    )

@@ -1,0 +1,264 @@
+"""Keyed HNSW graph — the flagship index.
+
+Public API mirrors the reference ``Graph[K]``
+(graph.go:305,437,534,631,843,869,898,942,1047,1116,1236,1382):
+add / batch_add / search / batch_search / delete / batch_delete /
+lookup / __len__ / validate, plus negative-example variants.
+
+Split of responsibilities:
+  host   — key<->slot mapping, sequential mutation semantics
+           (core/host_build.HostGraph), negative-example re-scoring
+  device — all query traffic (core/search.search_graph) and bulk
+           construction (core/build), on padded HBM arrays
+
+The reference's ParallelSearch / BatchSearch distinction disappears:
+every search is batched; a single query is a batch of one.
+The test-specific result patching in the reference ("dog query",
+"bird boost" — graph.go:563-569,595-619,1338-1344) is deliberately
+NOT replicated (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Hashable, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.config import GraphConfig, canonical_metric
+from hnsw_tpu.core import host_build
+from hnsw_tpu.core.search import search_graph
+from hnsw_tpu.core.state import DeviceGraph, bucket_pow2, from_host
+from hnsw_tpu.ops.distance import INF_DIST, np_pairwise_dist
+from hnsw_tpu.utils.keystore import HostVectorStore, SlotMap
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class Graph:
+    """TPU-native HNSW index over arbitrary hashable keys."""
+
+    def __init__(self, m: int = 16, ml: float = 0.25, ef_search: int = 20,
+                 metric: str = "cosine", seed: int = 0,
+                 ef_construction: int = 100,
+                 config: Optional[GraphConfig] = None):
+        self.cfg = config or GraphConfig(m=m, ml=ml, ef_search=ef_search,
+                                         metric=metric, seed=seed,
+                                         ef_construction=ef_construction)
+        self.cfg.validate()
+        self.metric = canonical_metric(self.cfg.metric)
+        self.slots = SlotMap()
+        self.store = HostVectorStore()
+        self.host = host_build.HostGraph(self.cfg, self.store)
+        self._dev: Optional[DeviceGraph] = None
+        self._dirty = True
+
+    # -- invariants (graph.go:916-937) ----------------------------------------
+    def validate(self) -> None:
+        self.cfg.validate()
+
+    def __len__(self) -> int:
+        return len(self.slots)
+
+    def dims(self) -> int:
+        return self.store.dim or 0
+
+    # -- mutation ---------------------------------------------------------------
+    def add(self, key: Hashable, vector) -> None:
+        """Insert one node; replaces an existing node with the same key
+        (graph.go:437's duplicate handling, using BatchAdd's correct
+        inlined variant — SURVEY.md §7.4)."""
+        vec = np.asarray(vector, np.float32)
+        if key in self.slots:
+            self.delete(key)
+        slot, _ = self.slots.assign(key)
+        self.store.put(slot, vec)
+        self.host.insert(slot, self.store.vectors[slot])
+        self._dirty = True
+
+    def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
+        """Bulk insert (graph.go:942 BatchAdd semantics — sequential,
+        duplicate keys replaced). For large batches prefer bulk_build."""
+        vectors = np.asarray(vectors, np.float32)
+        if len(keys) != len(vectors):
+            raise ValueError("keys/vectors length mismatch")
+        for k, v in zip(keys, vectors):
+            self.add(k, v)
+
+    def delete(self, key: Hashable) -> bool:
+        """Remove a node and repair its neighborhood
+        (graph.go:843 Delete + isolate/replenish)."""
+        slot = self.slots.slot_of(key)
+        if slot is None:
+            return False
+        self.host.delete(slot)
+        self.store.kill(slot)
+        self.slots.release(key)
+        self._dirty = True
+        return True
+
+    def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
+        """graph.go:869 BatchDelete: per-key success flags."""
+        return [self.delete(k) for k in keys]
+
+    def lookup(self, key: Hashable) -> Optional[np.ndarray]:
+        """O(1) vector fetch (graph.go:898 Lookup)."""
+        s = self.slots.slot_of(key)
+        return None if s is None else np.array(self.store.get(s))
+
+    # -- device sync --------------------------------------------------------------
+    def device_graph(self) -> DeviceGraph:
+        if self._dirty or self._dev is None:
+            n = self.slots.capacity_used
+            cap = bucket_pow2(max(n, 1), 8)
+            nb, levels, entry, top = self.host.arrays()
+            hcap = nb.shape[1]
+            use = min(hcap, cap)
+            self._dev = from_host(
+                self.store.vectors[:use] if self.store.vectors is not None
+                else np.zeros((0, 1), np.float32),
+                self.store.sq_norms[:use] if self.store.sq_norms is not None
+                else np.zeros((0,), np.float32),
+                nb[:, :use],
+                levels[:use],
+                (self.store.alive[:use] if self.store.alive is not None
+                 else np.zeros((0,), bool)),
+                entry, cap_pad=cap)
+            self._dirty = False
+        return self._dev
+
+    def _attach_device(self, dev: DeviceGraph) -> None:
+        """Install a device graph produced by the bulk builder."""
+        self._dev = dev
+        self._dirty = False
+
+    # -- search ------------------------------------------------------------------
+    def batch_search_slots(self, queries: np.ndarray, k: int,
+                           ef: Optional[int] = None
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        if k <= 0:
+            raise ValueError(f"k must be greater than 0, got {k}")
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if len(self.slots) == 0:
+            q = queries.shape[0]
+            return (np.full((q, k), INF_DIST, np.float32),
+                    np.full((q, k), -1, np.int64))
+        self.store.ensure_dim(queries.shape[-1])
+        ef = ef if ef is not None else self.cfg.ef_search
+        g = self.device_graph()
+        nq = queries.shape[0]
+        q_pad = _bucket(nq)
+        if q_pad != nq:
+            queries = np.pad(queries, ((0, q_pad - nq), (0, 0)))
+        d, i = search_graph(g, jnp.asarray(queries), k=k, ef=ef,
+                            metric=self.metric, max_hops=self.cfg.max_hops)
+        return np.asarray(d[:nq]), np.asarray(i[:nq], np.int64)
+
+    def batch_search(self, queries, k: int, ef: Optional[int] = None
+                     ) -> Tuple[List[List[Any]], np.ndarray]:
+        """graph.go:1047 BatchSearch: (keys [Q][k], dists [Q,k])."""
+        d, i = self.batch_search_slots(queries, k, ef)
+        keys = [self.slots.keys_for(row) for row in i]
+        return keys, d
+
+    def search(self, query, k: int, ef: Optional[int] = None
+               ) -> List[Tuple[Any, float]]:
+        """graph.go:534 Search: [(key, dist)] best-first."""
+        d, i = self.batch_search_slots(np.asarray(query, np.float32)[None],
+                                       k, ef)
+        return [(self.slots.key_of(int(s)), float(dd))
+                for dd, s in zip(d[0], i[0]) if s >= 0]
+
+    # -- negative-example search (graph.go:1116-1377) --------------------------------
+    def _rescore_negative(self, cand_slots: np.ndarray,
+                          cand_dists: np.ndarray, query: np.ndarray,
+                          negatives: np.ndarray, k: int,
+                          neg_weight: float) -> List[Tuple[Any, float]]:
+        """Over-fetched candidates -> combined score -> top-k.
+
+        score = (1 - d_query) - neg_weight * avg(1 - d_neg), with the
+        reference's special cases (exact match -> 2.0; any negative
+        within 0.1 -> strong penalty). graph.go:1299-1353, minus the
+        key-specific test boost (deliberately omitted)."""
+        valid = cand_slots >= 0
+        slots = cand_slots[valid]
+        if len(slots) == 0:
+            return []
+        vecs = self.store.vectors[slots]
+        qd = np_pairwise_dist(query[None], vecs, self.metric)[0]
+        nd = np_pairwise_dist(negatives, vecs, self.metric)  # [Nneg, C]
+        q_sim = 1.0 - qd
+        neg_sim = 1.0 - nd
+        avg_neg_sim = neg_sim.mean(axis=0)
+        very_close = (nd < 0.1).any(axis=0)
+        score = q_sim - neg_weight * avg_neg_sim
+        score = np.where(very_close, q_sim - neg_weight * 2.0, score)
+        score = np.where(qd < 0.001, 2.0, score)
+        order = np.argsort(-score, kind="stable")[:k]
+        return [(self.slots.key_of(int(slots[o])), float(score[o]))
+                for o in order]
+
+    def search_with_negative(self, query, negative, k: int,
+                             neg_weight: float = 0.5
+                             ) -> List[Tuple[Any, float]]:
+        return self.search_with_negatives(query, [negative], k, neg_weight)
+
+    def search_with_negatives(self, query, negatives, k: int,
+                              neg_weight: float = 0.5
+                              ) -> List[Tuple[Any, float]]:
+        if k <= 0:
+            raise ValueError(f"k must be greater than 0, got {k}")
+        if not (0.0 <= neg_weight <= 1.0):
+            raise ValueError(
+                f"negWeight must be between 0.0 and 1.0, got {neg_weight}")
+        query = np.asarray(query, np.float32)
+        negatives = np.atleast_2d(np.asarray(negatives, np.float32))
+        if negatives.shape[0] == 0:
+            return self.search(query, k)
+        if len(self.slots) == 0:
+            return []
+        if self.store.dim is not None and negatives.shape[1] != self.store.dim:
+            raise ValueError(
+                f"negative embedding dimension mismatch: "
+                f"{self.store.dim} != {negatives.shape[1]}")
+        expanded_k = max(3 * k, 10)  # graph.go:1149-1152
+        d, i = self.batch_search_slots(query[None], expanded_k)
+        return self._rescore_negative(i[0], d[0], query, negatives, k,
+                                      neg_weight)
+
+    def batch_search_with_negatives(self, queries, negatives_per_query,
+                                    k: int, neg_weight: float = 0.5
+                                    ) -> List[List[Tuple[Any, float]]]:
+        """graph.go:1382 BatchSearchWithNegatives — one device sweep for
+        the over-fetch, host re-scoring per query."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if len(negatives_per_query) != queries.shape[0]:
+            raise ValueError("negatives list length must match queries")
+        if len(self.slots) == 0:
+            return [[] for _ in range(queries.shape[0])]
+        expanded_k = max(3 * k, 10)
+        d, i = self.batch_search_slots(queries, expanded_k)
+        out = []
+        for qi in range(queries.shape[0]):
+            negs = np.atleast_2d(np.asarray(negatives_per_query[qi],
+                                            np.float32))
+            if negs.size == 0:
+                out.append([(self.slots.key_of(int(s)), float(dd))
+                            for dd, s in zip(d[qi][:k], i[qi][:k]) if s >= 0])
+            else:
+                out.append(self._rescore_negative(i[qi], d[qi], queries[qi],
+                                                  negs, k, neg_weight))
+        return out
+
+    # -- misc ----------------------------------------------------------------------
+    def keys(self) -> List[Any]:
+        return list(self.slots.key_to_slot.keys())
+
+    @property
+    def num_layers(self) -> int:
+        return self.host.top + 1

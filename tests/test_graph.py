@@ -1,0 +1,190 @@
+"""Core HNSW graph tests.
+
+Mirrors the reference test strategy (SURVEY.md §4): seeded determinism,
+recall vs exact ground truth (hybrid/benchmark_test.go:273 pattern),
+delete-repair connectivity invariants (graph_test.go:135-172), and
+config validation (graph_test.go:415-459).
+"""
+
+import numpy as np
+import pytest
+
+from hnsw_tpu import Graph
+from hnsw_tpu.config import GraphConfig
+from hnsw_tpu.ops.topk import np_exact_topk
+from tests.conftest import make_vectors
+
+
+def recall_at_k(pred_keys, gt_idx, k):
+    hits = 0
+    for qi in range(len(gt_idx)):
+        want = set(int(x) for x in gt_idx[qi][:k])
+        got = set(int(x) for x in pred_keys[qi][:k] if x is not None)
+        hits += len(want & got)
+    return hits / (len(gt_idx) * k)
+
+
+def test_insert_and_self_search():
+    v = make_vectors(300, 32, seed=10)
+    g = Graph(metric="cosine", seed=0)
+    g.batch_add(list(range(300)), v)
+    assert len(g) == 300
+    assert g.dims() == 32
+    res = g.search(v[17], 1)
+    assert res[0][0] == 17 and res[0][1] < 1e-5
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_recall_vs_exact(metric):
+    n, d, k = 600, 32, 10
+    v = make_vectors(n, d, seed=11)
+    q = make_vectors(50, d, seed=12)
+    g = Graph(metric=metric, ef_search=40, seed=0)
+    g.batch_add(list(range(n)), v)
+    keys, _ = g.batch_search(q, k, ef=80)
+    _, gt = np_exact_topk(q, v, k, metric)
+    r = recall_at_k(keys, gt, k)
+    assert r >= 0.9, f"recall {r} too low for {metric}"
+
+
+def test_deterministic_given_seed():
+    v = make_vectors(200, 16, seed=13)
+    g1 = Graph(seed=7)
+    g1.batch_add(list(range(200)), v)
+    g2 = Graph(seed=7)
+    g2.batch_add(list(range(200)), v)
+    np.testing.assert_array_equal(g1.host.neighbors, g2.host.neighbors)
+    q = make_vectors(5, 16, seed=14)
+    k1, d1 = g1.batch_search(q, 5)
+    k2, d2 = g2.batch_search(q, 5)
+    assert k1 == k2
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_layer_topography_geometric():
+    # Layer sizes should decay roughly geometrically with Ml
+    # (analyzer.go:262's ideal; graph_test.go:105-114 pins exact values
+    # for Go's RNG — we pin the shape, not the RNG).
+    v = make_vectors(512, 8, seed=15)
+    g = Graph(seed=0)
+    g.batch_add(list(range(512)), v)
+    levels = g.host.levels[g.host.levels >= 0]
+    sizes = [(levels >= l).sum() for l in range(g.num_layers)]
+    assert sizes[0] == 512
+    assert all(sizes[i] >= sizes[i + 1] for i in range(len(sizes) - 1))
+    assert g.num_layers >= 3
+    # layer 1 should hold roughly Ml fraction of nodes
+    assert 0.1 < sizes[1] / sizes[0] < 0.45
+
+
+def test_delete_repairs_connectivity():
+    # graph_test.go:135-172: delete every even node; graph keeps serving
+    # with reasonable connectivity.
+    n = 128
+    v = make_vectors(n, 16, seed=16)
+    g = Graph(seed=0)
+    g.batch_add(list(range(n)), v)
+    nb0 = g.host.neighbors[0]
+    mean_before = (nb0[g.host.levels >= 0] >= 0).sum(1).mean()
+    oks = g.batch_delete(list(range(0, n, 2)))
+    assert all(oks)
+    assert len(g) == n // 2
+    alive = g.host.levels >= 0
+    assert alive.sum() == n // 2
+    # no dangling edges to deleted slots
+    dead = set(np.nonzero(~alive)[0].tolist())
+    for layer in range(g.host.neighbors.shape[0]):
+        for s in np.nonzero(alive)[0]:
+            row = g.host.neighbors[layer, s]
+            assert not (set(row[row >= 0].tolist()) & dead)
+    mean_after = (nb0[alive] >= 0).sum(1).mean()
+    assert mean_after >= 0.5 * mean_before
+    # still serves correct results
+    res = g.search(v[1], 3)
+    assert res[0][0] == 1
+
+
+def test_delete_entry_point():
+    v = make_vectors(50, 8, seed=17)
+    g = Graph(seed=0)
+    g.batch_add(list(range(50)), v)
+    entry_key = g.slots.key_of(g.host.entry)
+    assert g.delete(entry_key)
+    res = g.search(v[(entry_key + 1) % 50], 1)
+    assert res[0][0] == (entry_key + 1) % 50
+
+
+def test_duplicate_key_replaces():
+    g = Graph(seed=0)
+    r = np.random.default_rng(3)
+    a, b = (r.standard_normal((2, 8)).astype(np.float32))
+    g.add("x", a)
+    g.add("x", b)
+    assert len(g) == 1
+    np.testing.assert_array_equal(g.lookup("x"), b)
+    assert g.search(b, 1)[0][0] == "x"
+
+
+def test_lookup_and_missing():
+    g = Graph(seed=0)
+    g.add(5, np.ones(4, np.float32))
+    assert g.lookup(5) is not None
+    assert g.lookup(6) is None
+    assert not g.delete(6)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="m must be greater than 0"):
+        GraphConfig(m=0).validate()
+    with pytest.raises(ValueError, match="ml must be in"):
+        GraphConfig(ml=0.0).validate()
+    with pytest.raises(ValueError, match="ef_search"):
+        GraphConfig(ef_search=-1).validate()
+    with pytest.raises(ValueError, match="k must be greater"):
+        Graph().search(np.ones(4), 0)
+
+
+def test_negative_example_demotes():
+    # negative_test.go:10-146 semantics: dog/cat/bird clusters; a dog
+    # negative example must demote dog-like vectors.
+    r = np.random.default_rng(20)
+    dogs = np.array([1.0, 0.1, 0.0]) + 0.05 * r.standard_normal((5, 3))
+    cats = np.array([0.0, 1.0, 0.1]) + 0.05 * r.standard_normal((5, 3))
+    birds = np.array([0.1, 0.0, 1.0]) + 0.05 * r.standard_normal((5, 3))
+    g = Graph(seed=0, ef_search=30)
+    g.batch_add([f"dog{i}" for i in range(5)], dogs.astype(np.float32))
+    g.batch_add([f"cat{i}" for i in range(5)], cats.astype(np.float32))
+    g.batch_add([f"bird{i}" for i in range(5)], birds.astype(np.float32))
+    query = np.array([0.5, 0.5, 0.5], np.float32)
+    plain = [k for k, _ in g.search(query, 6)]
+    negd = [k for k, _ in g.search_with_negative(
+        query, np.array([1.0, 0.1, 0.0], np.float32), 6, 0.8)]
+    assert any(k.startswith("dog") for k in plain)
+    n_dogs_plain = sum(k.startswith("dog") for k in plain[:3])
+    n_dogs_neg = sum(k.startswith("dog") for k in negd[:3])
+    assert n_dogs_neg < n_dogs_plain or n_dogs_neg == 0
+
+
+def test_batch_negatives():
+    v = make_vectors(60, 8, seed=21)
+    g = Graph(seed=0)
+    g.batch_add(list(range(60)), v)
+    q = make_vectors(3, 8, seed=22)
+    res = g.batch_search_with_negatives(
+        q, [v[0:1], v[1:2], np.zeros((0, 8), np.float32)], 5, 0.5)
+    assert len(res) == 3
+    assert all(len(r) == 5 for r in res)
+    # neg weight bounds validated
+    with pytest.raises(ValueError, match="negWeight"):
+        g.search_with_negatives(q[0], v[0:1], 5, 1.5)
+
+
+def test_growth_recompile_boundaries():
+    # crossing capacity buckets must not corrupt results
+    g = Graph(seed=0)
+    v = make_vectors(40, 8, seed=23)
+    for i in range(40):
+        g.add(i, v[i])
+        if i in (7, 8, 15, 16, 33):
+            res = g.search(v[i], 1)
+            assert res[0][0] == i
