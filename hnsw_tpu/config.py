@@ -43,12 +43,35 @@ class GraphConfig:
     #: unstructured data; a dedicated (larger) construction beam is the
     #: standard HNSW design and a deliberate improvement.
     ef_construction: int = 100
+    #: base-layer max degree. The reference uses M on every layer
+    #: (graph.go:316); the standard HNSW convention (and measurably
+    #: better recall on high-dim data) is 2*M at layer 0. None = 2*m.
+    m0: Optional[int] = None
+    #: apply the neighbor-diversity heuristic (Malkov Alg. 4: keep a
+    #: candidate only if it is closer to the query than to any already
+    #: -selected neighbor, then backfill with pruned candidates) when
+    #: selecting edges during bulk build. The reference keeps plain
+    #: closest-M (graph.go:41-81), which degrades recall sharply on
+    #: unstructured high-dim data.
+    diversify: bool = True
+
+    @property
+    def m_base(self) -> int:
+        return self.m0 if self.m0 is not None else 2 * self.m
+
+    def max_degree(self, layer: int) -> int:
+        return self.m_base if layer == 0 else self.m
     metric: str = "cosine"
     seed: int = 0          # level-sampling RNG seed (graph.go:312 Rng)
     #: max beam-search hops per layer; static bound required by XLA.
     #: The reference terminates on "no improvement" (graph.go:164-166);
     #: we run a masked while_loop with this upper bound as a safety net.
+    #: Effective bound scales with pool size: max(max_hops, 2*pool/expand).
     max_hops: int = 128
+    #: pool entries expanded per hop in batched beam search. >1 trades a
+    #: few extra distance evals for proportionally fewer (fatter) hops —
+    #: the right trade on an MXU.
+    search_expand: int = 4
     #: dtype for on-device vector storage ("float32" or "bfloat16").
     store_dtype: str = "float32"
 
@@ -65,6 +88,8 @@ class GraphConfig:
             raise ValueError(
                 f"ef_construction must be greater than 0, "
                 f"got {self.ef_construction}")
+        if self.m0 is not None and self.m0 < self.m:
+            raise ValueError(f"m0 ({self.m0}) must be >= m ({self.m})")
         canonical_metric(self.metric)
         if self.store_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"bad store_dtype {self.store_dtype}")

@@ -47,8 +47,10 @@ class HostGraph:
         self.metric = canonical_metric(cfg.metric)
         self.store = store
         self.rng = np.random.default_rng(cfg.seed)
-        # neighbors[l, slot] = int32 row of up to M neighbor slots, -1 pad.
-        self.neighbors = np.full((1, 0, cfg.m), -1, np.int32)
+        # neighbors[l, slot] = int32 row, -1 pad. Row width = m_base
+        # (layer-0 degree); upper layers use only the first m entries
+        # (cfg.max_degree).
+        self.neighbors = np.full((1, 0, cfg.m_base), -1, np.int32)
         self.levels = np.full((0,), -1, np.int32)
         self.entry: int = -1   # slot of a node on the top layer
         self.top: int = -1     # current top layer index (-1 = empty)
@@ -65,7 +67,8 @@ class HostGraph:
                 grown_cap = max(64, cap)
                 while grown_cap < need_cap:
                     grown_cap *= 2
-            nb = np.full((need_l, grown_cap, self.cfg.m), -1, np.int32)
+            nb = np.full((need_l, grown_cap, self.cfg.m_base), -1,
+                         np.int32)
             nb[: self.neighbors.shape[0], :cap] = self.neighbors
             self.neighbors = nb
             if grown_cap > len(self.levels):
@@ -154,20 +157,23 @@ class HostGraph:
         add both directions explicitly."""
         if n == new:
             return
+        deg_cap = self.cfg.max_degree(layer)
         row = self.neighbors[layer, n]
         if (row == new).any():
             return  # map semantics: already a neighbor
-        free = np.nonzero(row < 0)[0]
-        if len(free):
+        filled = np.nonzero(row >= 0)[0]
+        if len(filled) < deg_cap:
+            free = np.nonzero(row < 0)[0]
             row[free[0]] = new
             return
-        # Full: among current M + the newcomer, evict the farthest from n.
-        cands = np.concatenate([row, [new]])
+        # Full: among current degree-cap + the newcomer, evict the
+        # farthest from n.
+        cands = np.concatenate([row[filled], [new]])
         d = self._dist_many(self.store.vectors[n], cands)
         worst_pos = int(np.argmax(d))
         worst = int(cands[worst_pos])
         if worst != new:
-            row[worst_pos] = new
+            row[filled[worst_pos]] = new
         # Remove backlink and replenish the evictee (graph.go:73-80).
         self._row_remove(layer, worst, n)
         if _depth < 32:  # recursion guard; reference recurses unboundedly
@@ -175,10 +181,12 @@ class HostGraph:
 
     def replenish(self, layer: int, n: int, _depth: int = 0) -> None:
         """Refill n's neighbor row from neighbors-of-neighbors
-        (graph.go:172-219), best-distance-first, up to M."""
+        (graph.go:172-219), best-distance-first, up to the layer's
+        degree cap."""
+        deg_cap = self.cfg.max_degree(layer)
         row = self.neighbors[layer, n]
         have = row[row >= 0]
-        if len(have) >= self.cfg.m:
+        if len(have) >= deg_cap:
             return
         exclude = set(int(s) for s in have)
         exclude.add(n)
@@ -196,7 +204,7 @@ class HostGraph:
         order = np.argsort(d, kind="stable")
         for pos in order:
             row = self.neighbors[layer, n]
-            if (row >= 0).sum() >= self.cfg.m:
+            if (row >= 0).sum() >= deg_cap:
                 break
             self.add_neighbor(layer, n, int(cands[pos]), _depth)
 
@@ -215,7 +223,7 @@ class HostGraph:
         elevator = self.entry
         for layer in range(self.top, -1, -1):
             found = self.search_layer(layer, vec, elevator,
-                                      k=self.cfg.m,
+                                      k=self.cfg.max_degree(layer),
                                       ef=self.cfg.ef_construction)
             elevator = found[0][1]
             if level >= layer:

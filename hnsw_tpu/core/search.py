@@ -46,9 +46,14 @@ def _entry_dist(g: DeviceGraph, queries, q_sq, entry_ids, metric, precision):
 def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
                       q_sq: jnp.ndarray, start_ids: jnp.ndarray,
                       start_d: jnp.ndarray, pool_size: int, max_hops: int,
-                      metric: str, precision
+                      metric: str, precision, expand: int = 1
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam search one layer for a batch of queries.
+
+    ``expand`` > 1 opens the top-E unexpanded pool entries per hop
+    instead of one — fewer, fatter hops (larger gathers and einsums that
+    the MXU actually likes) at the cost of a few extra distance
+    evaluations. Classic single-candidate expansion is expand=1.
 
     Returns (pool_dists [B, P], pool_ids [B, P]) sorted ascending;
     empty slots are (INF_DIST, -1).
@@ -56,62 +61,81 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
     B = queries.shape[0]
     cap = g.cap
     P = pool_size
+    E = max(1, min(expand, P))
     M = g.m
     neigh = g.neighbors[layer]              # [cap, M]
     rows = jnp.arange(B)
 
     # Pool init: the start node occupies slot 0 (mirrors the reference
     # pushing the entry into the result set first, graph.go:122).
-    pool_i = jnp.full((B, P), -1, jnp.int32).at[:, 0].set(start_ids)
+    # Tie every carry component to start_d's varying-axes type: under
+    # shard_map the while_loop requires carry-in and carry-out to agree
+    # on which mesh axes they vary over, and start_d (a distance between
+    # query and graph) always carries the union.
+    vary0 = (start_d * 0).astype(jnp.int32)                 # [B] zeros
+    pool_i = (jnp.full((B, P), -1, jnp.int32).at[:, 0].set(start_ids)
+              + vary0[:, None])
     pool_d = jnp.full((B, P), INF_DIST, jnp.float32).at[:, 0].set(start_d)
-    expanded = jnp.zeros((B, P), bool)
-    visited = jnp.zeros((B, cap), bool).at[rows, jnp.clip(start_ids, 0, cap - 1)].set(True)
+    expanded = pool_i < -1
+    visited = (jnp.zeros((B, cap), bool)
+               .at[rows, jnp.clip(start_ids, 0, cap - 1)].set(True)
+               | (vary0 > 0)[:, None])
+    hop0 = jnp.min(vary0)
 
     def active_and_sel(pool_d, pool_i, expanded):
         sel_d = jnp.where(expanded | (pool_i < 0), INF_DIST, pool_d)
-        j = jnp.argmin(sel_d, axis=1)                       # [B]
-        best = sel_d[rows, j]
+        negv, j = jax.lax.top_k(-sel_d, E)                  # [B, E]
+        best = -negv                                        # ascending
         worst = jnp.max(pool_d, axis=1)                     # INF when not full
-        active = best < worst                               # no-improvement rule
-        return j, active
+        take = best < worst[:, None]                        # per-entry
+        return j, take
 
     def cond(state):
         pool_d, pool_i, expanded, visited, hop = state
-        _, active = active_and_sel(pool_d, pool_i, expanded)
-        return (hop < max_hops) & jnp.any(active)
+        _, take = active_and_sel(pool_d, pool_i, expanded)
+        return (hop < max_hops) & jnp.any(take)
 
     def body(state):
         pool_d, pool_i, expanded, visited, hop = state
-        j, active = active_and_sel(pool_d, pool_i, expanded)
-        cur = pool_i[rows, j]
-        cur_safe = jnp.clip(jnp.where(active, cur, 0), 0, cap - 1)
-        expanded = expanded.at[rows, j].max(active)
+        j, take = active_and_sel(pool_d, pool_i, expanded)   # [B, E]
+        cur = pool_i[rows[:, None], j]                       # [B, E]
+        cur_safe = jnp.clip(jnp.where(take, cur, 0), 0, cap - 1)
+        expanded = expanded.at[rows[:, None], j].max(take)
 
-        nbrs = neigh[cur_safe]                              # [B, M]
-        nb_ok = (nbrs >= 0) & active[:, None]
+        nbrs = neigh[cur_safe].reshape(B, E * M)             # [B, E*M]
+        nb_ok = (nbrs >= 0) & jnp.repeat(take, M, axis=1)
         nb_safe = jnp.clip(jnp.where(nb_ok, nbrs, 0), 0, cap - 1)
-        seen = visited[rows[:, None], nb_safe]
-        is_alive = g.alive[nb_safe]
-        eval_mask = nb_ok & (~seen) & is_alive
-        visited = visited.at[rows[:, None], nb_safe].max(nb_ok)
+        # Visit/dedup sequentially per expanded entry (E is small): a
+        # node surfacing under several expansions this hop is evaluated
+        # once; ids within one neighbor row are unique by construction.
+        masks = []
+        for e in range(E):
+            sl = slice(e * M, (e + 1) * M)
+            nb_e = nb_safe[:, sl]
+            ok_e = nb_ok[:, sl]
+            seen_e = visited[rows[:, None], nb_e]
+            masks.append(ok_e & (~seen_e) & g.alive[nb_e])
+            visited = visited.at[rows[:, None], nb_e].max(ok_e)
+        eval_mask = jnp.concatenate(masks, axis=1)
 
-        cand_vecs = g.vectors[nb_safe]                      # [B, M, D]
-        cand_sq = g.sq_norms[nb_safe]                       # [B, M]
+        cand_vecs = g.vectors[nb_safe]                      # [B, E*M, D]
+        cand_sq = g.sq_norms[nb_safe]
         d = gathered_dist(queries, cand_vecs, cand_sq, q_sq,
                           metric=metric, precision=precision)
         d = jnp.where(eval_mask, d, INF_DIST)
         new_i = jnp.where(eval_mask, nbrs, -1)
 
-        md = jnp.concatenate([pool_d, d], axis=1)           # [B, P+M]
+        md = jnp.concatenate([pool_d, d], axis=1)           # [B, P+E*M]
         mi = jnp.concatenate([pool_i, new_i], axis=1)
-        me = jnp.concatenate([expanded, jnp.zeros((B, M), bool)], axis=1)
+        me = jnp.concatenate([expanded, jnp.zeros((B, E * M), bool)],
+                             axis=1)
         pd, pos = topk_smallest(md, P)
         pool_d = pd
         pool_i = jnp.take_along_axis(mi, pos, axis=1)
         expanded = jnp.take_along_axis(me, pos, axis=1)
         return pool_d, pool_i, expanded, visited, hop + 1
 
-    state = (pool_d, pool_i, expanded, visited, jnp.int32(0))
+    state = (pool_d, pool_i, expanded, visited, hop0)
     pool_d, pool_i, expanded, visited, _ = jax.lax.while_loop(cond, body, state)
     # Final sort (top_k over P yields ascending order).
     pd, pos = topk_smallest(pool_d, P)
@@ -122,10 +146,11 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "metric", "max_hops", "fast_math"))
+    static_argnames=("k", "ef", "metric", "max_hops", "fast_math",
+                     "expand"))
 def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                  metric: str = "cosine", max_hops: int = 128,
-                 fast_math: bool = False
+                 fast_math: bool = False, expand: int = 1
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full hierarchical search for a batch of queries.
 
@@ -154,7 +179,8 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
     for layer in range(L - 1, 0, -1):
         pd, pi = beam_search_layer(g, layer, queries, q_sq, entry_ids,
                                    entry_d, pool_size=ef, max_hops=max_hops,
-                                   metric=metric, precision=precision)
+                                   metric=metric, precision=precision,
+                                   expand=expand)
         best_i, best_d = pi[:, 0], pd[:, 0]
         keep = best_i >= 0
         entry_ids = jnp.where(keep, best_i, entry_ids)
@@ -162,5 +188,6 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
 
     pd, pi = beam_search_layer(g, 0, queries, q_sq, entry_ids, entry_d,
                                pool_size=P0, max_hops=max_hops,
-                               metric=metric, precision=precision)
+                               metric=metric, precision=precision,
+                               expand=expand)
     return pd[:, :k], pi[:, :k]

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hnsw_tpu.config import GraphConfig, canonical_metric
+from hnsw_tpu.core import build as build_mod
 from hnsw_tpu.core import host_build
 from hnsw_tpu.core.search import search_graph
 from hnsw_tpu.core.state import DeviceGraph, bucket_pow2, from_host
@@ -57,6 +58,9 @@ class Graph:
         self.host = host_build.HostGraph(self.cfg, self.store)
         self._dev: Optional[DeviceGraph] = None
         self._dirty = True
+        #: bf16 traversal matmuls; exact reported distances off. Flip on
+        #: for serving throughput.
+        self.fast_math = False
 
     # -- invariants (graph.go:916-937) ----------------------------------------
     def validate(self) -> None:
@@ -89,6 +93,25 @@ class Graph:
             raise ValueError("keys/vectors length mismatch")
         for k, v in zip(keys, vectors):
             self.add(k, v)
+
+    def build(self, keys: Sequence[Hashable], vectors,
+              wave: int = 1024) -> None:
+        """Bulk batched construction on device (core/build.bulk_insert) —
+        the TPU-native replacement for sequential Add. Existing keys are
+        replaced; duplicate keys within the batch are an error."""
+        vectors = np.asarray(vectors, np.float32)
+        if len(keys) != len(vectors):
+            raise ValueError("keys/vectors length mismatch")
+        if len(set(keys)) != len(keys):
+            raise ValueError("duplicate keys in build batch")
+        for k in keys:
+            if k in self.slots:
+                self.delete(k)
+        slot_list = np.asarray([self.slots.assign(k)[0] for k in keys],
+                               np.int64)
+        self.store.put_batch(slot_list, vectors)
+        build_mod.bulk_insert(self.host, slot_list, wave=wave)
+        self._dirty = True
 
     def delete(self, key: Hashable) -> bool:
         """Remove a node and repair its neighborhood
@@ -155,8 +178,12 @@ class Graph:
         q_pad = _bucket(nq)
         if q_pad != nq:
             queries = np.pad(queries, ((0, q_pad - nq), (0, 0)))
+        pool = max(ef, k)
+        expand = self.cfg.search_expand
+        hops = max(self.cfg.max_hops, -(-2 * pool // expand))
         d, i = search_graph(g, jnp.asarray(queries), k=k, ef=ef,
-                            metric=self.metric, max_hops=self.cfg.max_hops)
+                            metric=self.metric, max_hops=hops,
+                            expand=expand, fast_math=self.fast_math)
         return np.asarray(d[:nq]), np.asarray(i[:nq], np.int64)
 
     def batch_search(self, queries, k: int, ef: Optional[int] = None

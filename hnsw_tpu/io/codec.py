@@ -1,0 +1,157 @@
+"""Versioned checkpoint codec — parity with encode.go.
+
+The reference serializes the pointer graph node-by-node with a varint
+codec and rebuilds pointers in a two-pass import (encode.go:133-262).
+The array representation makes this trivial: the checkpoint IS the
+arrays. We keep the reference's durable ideas:
+
+  * version header                      (encodingVersion, encode.go:128)
+  * distance stored by NAME, resolved through the registry on import —
+    unregistered name -> error          (encode.go:193-195, distance.go:25)
+  * atomic write via temp file + rename (renameio, encode.go:304-322)
+  * an imported graph "converges onto" the hyper-params of the file
+    (encode.go:178-179)
+
+Format: numpy .npz (compressed) + a JSON config entry + pickled key
+table (keys are arbitrary hashable Python objects).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+import json
+import os
+import pickle
+import tempfile
+from typing import Any, Optional
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def save_graph(graph, path: str) -> None:
+    """Atomically write a Graph checkpoint."""
+    from hnsw_tpu.config import METRICS
+    from hnsw_tpu.ops.distance import registered
+
+    cfg = graph.cfg
+    metric = cfg.metric
+    if metric not in METRICS and registered(metric) is None:
+        # mirror encode.go's refusal to export unnamed distances
+        raise ValueError(
+            f"metric {metric!r} is not builtin and not registered; call "
+            f"register_distance() first")
+
+    n = graph.slots.capacity_used
+    host = graph.host
+    ncap = min(n, host.neighbors.shape[1]) if n else 0
+    payload = {
+        "version": np.int64(FORMAT_VERSION),
+        "config": np.frombuffer(json.dumps(
+            dataclasses.asdict(cfg)).encode(), dtype=np.uint8),
+        "keys": np.frombuffer(pickle.dumps({
+            "slot_to_key": graph.slots.slot_to_key,
+            "free": graph.slots.free,
+        }), dtype=np.uint8),
+        "vectors": (graph.store.vectors[:n] if n else
+                    np.zeros((0, 0), np.float32)),
+        "alive": (graph.store.alive[:n] if n else np.zeros((0,), bool)),
+        "neighbors": host.neighbors[:max(host.top + 1, 1), :ncap],
+        "levels": host.levels[:ncap],
+        "entry": np.int64(host.entry),
+        "top": np.int64(host.top),
+        "count": np.int64(host.count),
+    }
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(f, **payload)
+        os.replace(tmp, path)  # atomic (renameio semantics)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def load_graph(path: str, config=None):
+    """Load a checkpoint into a fresh Graph.
+
+    ``config`` overrides the stored hyper-params (the reference allows
+    importing under different params, encode.go:178-179); the metric
+    must be builtin or registered.
+    """
+    from hnsw_tpu.config import GraphConfig
+    from hnsw_tpu.index.hnsw import Graph
+    from hnsw_tpu.ops.distance import resolve_metric
+
+    with np.load(path, allow_pickle=False) as z:
+        version = int(z["version"])
+        if version > FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint version {version} newer than supported "
+                f"{FORMAT_VERSION}")
+        stored_cfg = json.loads(bytes(z["config"].tobytes()).decode())
+        key_table = pickle.loads(bytes(z["keys"].tobytes()))
+        vectors = z["vectors"]
+        alive = z["alive"]
+        neighbors = z["neighbors"]
+        levels = z["levels"]
+        entry = int(z["entry"])
+        top = int(z["top"])
+        count = int(z["count"])
+
+    cfg = config or GraphConfig(**stored_cfg)
+    resolve_metric(cfg.metric)  # raise if unknown/unregistered
+    g = Graph(config=cfg)
+
+    # restore key table
+    g.slots.slot_to_key = list(key_table["slot_to_key"])
+    g.slots.free = list(key_table["free"])
+    g.slots.key_to_slot = {k: i for i, k in enumerate(g.slots.slot_to_key)
+                           if k is not None}
+
+    n = vectors.shape[0]
+    if n:
+        g.store.ensure_dim(vectors.shape[1])
+        g.store.ensure_capacity(n)
+        g.store.vectors[:n] = vectors
+        v64 = vectors.astype(np.float64)
+        g.store.sq_norms[:n] = np.sum(v64 * v64, axis=1).astype(np.float32)
+        g.store.alive[:n] = alive
+
+        host = g.host
+        host._ensure(n - 1, neighbors.shape[0] - 1)
+        host.neighbors[:neighbors.shape[0], :n] = neighbors
+        host.levels[:n] = levels
+        host.entry = entry
+        host.top = top
+        host.count = count
+    g._dirty = True
+    return g
+
+
+class SavedGraph:
+    """Convenience wrapper: a Graph bound to a file path
+    (encode.go:268-327 SavedGraph/LoadSavedGraph)."""
+
+    def __init__(self, graph, path: str):
+        self.graph = graph
+        self.path = path
+
+    def save(self) -> None:
+        save_graph(self.graph, self.path)
+
+    @classmethod
+    def load(cls, path: str, config=None) -> "SavedGraph":
+        from hnsw_tpu.index.hnsw import Graph
+        if os.path.exists(path):
+            g = load_graph(path, config=config)
+        else:
+            from hnsw_tpu.config import GraphConfig
+            g = Graph(config=config or GraphConfig())
+        return cls(g, path)

@@ -1,0 +1,147 @@
+"""Multi-device execution over a TPU mesh.
+
+The reference has NO distributed backend (SURVEY.md §2.7) — a sharded
+graph exists only as a prose sketch (hnsw-extensions.md:233-271:
+consistent hashing + gRPC transport). The TPU-native equivalent needs no
+transport at all: shardings + XLA collectives over ICI.
+
+Two axes of scale:
+
+  * ``shard_queries``  — index replicated, query batch sharded (serving
+    data-parallelism; the analogue of the reference's worker-pool
+    BatchSearch, arrow/graph.go:243-314).
+  * ``shard_rows``     — vector rows sharded across devices; each device
+    scores its shard and a global top-k merge runs on all-gathered
+    per-shard candidates (k per device — tiny), the all-gather-free
+    pattern from SURVEY.md §5's "scale the big dimension" note.
+
+Both are shard_map programs; under jit XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hnsw_tpu.config import canonical_metric
+from hnsw_tpu.core.search import search_graph
+from hnsw_tpu.core.state import DeviceGraph
+from hnsw_tpu.ops.distance import INF_DIST
+from hnsw_tpu.ops.topk import exact_topk, topk_smallest
+
+
+def default_mesh(n_devices: Optional[int] = None,
+                 axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def sharded_exact_topk(queries: jnp.ndarray, vectors: jnp.ndarray,
+                       v_sq: jnp.ndarray, valid: jnp.ndarray, *, k: int,
+                       metric: str = "cosine", mesh: Mesh,
+                       axis: str = "data"
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-sharded exact k-NN: local MXU scan + global top-k merge.
+
+    vectors/v_sq/valid are sharded along rows; queries replicated.
+    Returned indices are GLOBAL row ids. Row count must divide evenly by
+    the mesh size (pad with valid=False rows).
+    """
+    metric = canonical_metric(metric)
+    n_local = vectors.shape[0] // mesh.shape[axis]
+
+    def local(q, v, sq, vd):
+        d, i = exact_topk(q, v, sq, vd, k=min(k, n_local), metric=metric)
+        shard = jax.lax.axis_index(axis)
+        i = jnp.where(i >= 0, i + shard * n_local, -1)
+        if d.shape[1] < k:
+            pad = k - d.shape[1]
+            d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=INF_DIST)
+            i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+        # per-shard top-k is tiny: all-gather + merge on every device
+        dg = jax.lax.all_gather(d, axis)            # [S, Q, k]
+        ig = jax.lax.all_gather(i, axis)
+        q_n = q.shape[0]
+        dd = jnp.moveaxis(dg, 0, 1).reshape(q_n, -1)
+        ii = jnp.moveaxis(ig, 0, 1).reshape(q_n, -1)
+        dk, pos = topk_smallest(dd, k)
+        ik = jnp.take_along_axis(ii, pos, axis=1)
+        ik = jnp.where(dk >= INF_DIST, -1, ik)
+        return dk, ik
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(), P(axis), P(axis), P(axis)),
+                      out_specs=(P(), P()), check_vma=False)
+    return jax.jit(f)(queries, vectors, v_sq, valid)
+
+
+def sharded_graph_search(g: DeviceGraph, queries: jnp.ndarray, *, k: int,
+                         ef: int, metric: str = "cosine",
+                         max_hops: int = 128, mesh: Mesh,
+                         axis: str = "data"
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Query-sharded HNSW search: graph replicated, batch split over the
+    mesh. Query count must divide evenly by the mesh size."""
+    metric = canonical_metric(metric)
+
+    def local(graph, q):
+        return search_graph(graph, q, k=k, ef=ef, metric=metric,
+                            max_hops=max_hops)
+
+    n_dev = mesh.shape[axis]
+    if queries.shape[0] % n_dev:
+        raise ValueError(
+            f"query count {queries.shape[0]} not divisible by mesh size "
+            f"{n_dev}; pad the batch")
+    g_specs = DeviceGraph(vectors=P(), sq_norms=P(), neighbors=P(),
+                          levels=P(), alive=P(), entry=P())
+    f = jax.shard_map(local, mesh=mesh, in_specs=(g_specs, P(axis)),
+                      out_specs=(P(axis), P(axis)))
+    return jax.jit(f)(g, queries)
+
+
+def partitioned_graph_search(graphs: DeviceGraph, queries: jnp.ndarray, *,
+                             k: int, ef: int, metric: str = "cosine",
+                             max_hops: int = 128, mesh: Mesh,
+                             axis: str = "data"
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Partition-sharded HNSW (expert-parallel analogue, SURVEY.md §2.7):
+    each device owns an independent sub-graph over its partition of the
+    data (the TPU-native version of hybrid/partitioner.go routing).
+    ``graphs`` holds stacked per-partition arrays with a leading device
+    axis: vectors [S, cap, D], neighbors [S, L, cap, M], entry [S], ...
+    Every device searches its own sub-graph for ALL queries; the global
+    top-k merges all-gathered per-partition candidates.
+
+    Returned ids are (partition, local_slot) encoded as
+    partition * cap + local_slot; -1 = miss.
+    """
+    metric = canonical_metric(metric)
+    cap = graphs.vectors.shape[-2]
+
+    def local(gs, q):
+        g = jax.tree.map(lambda a: a[0], gs)  # this device's partition
+        d, i = search_graph(g, q, k=k, ef=ef, metric=metric,
+                            max_hops=max_hops)
+        shard = jax.lax.axis_index(axis)
+        i = jnp.where(i >= 0, i + shard * cap, -1)
+        dg = jax.lax.all_gather(d, axis)           # [S, Q, k]
+        ig = jax.lax.all_gather(i, axis)
+        q_n = q.shape[0]
+        dd = jnp.moveaxis(dg, 0, 1).reshape(q_n, -1)
+        ii = jnp.moveaxis(ig, 0, 1).reshape(q_n, -1)
+        dk, pos = topk_smallest(dd, k)
+        ik = jnp.take_along_axis(ii, pos, axis=1)
+        ik = jnp.where(dk >= INF_DIST, -1, ik)
+        return dk, ik
+
+    g_specs = jax.tree.map(lambda _: P(axis), graphs)
+    f = jax.shard_map(local, mesh=mesh, in_specs=(g_specs, P()),
+                      out_specs=(P(), P()), check_vma=False)
+    return jax.jit(f)(graphs, queries)

@@ -1,0 +1,96 @@
+"""Bulk batched construction tests — quality parity with sequential
+insertion, the oracle pattern of parquet/graph_test.go:179
+(TestParquetGraph_CompareWithInMemory, InDelta 0.1)."""
+
+import numpy as np
+import pytest
+
+from hnsw_tpu import Graph
+from hnsw_tpu.ops.topk import np_exact_topk
+from tests.conftest import make_vectors
+
+
+def _recall(keys, gt, k):
+    hits = sum(len(set(map(int, keys[i][:k])) & set(map(int, gt[i][:k])))
+               for i in range(len(gt)))
+    return hits / (len(gt) * k)
+
+
+def test_bulk_build_recall_parity_with_sequential():
+    n, d, k = 800, 24, 10
+    v = make_vectors(n, d, seed=40)
+    q = make_vectors(40, d, seed=41)
+    _, gt = np_exact_topk(q, v, k, "cosine")
+
+    g_seq = Graph(seed=0)
+    g_seq.batch_add(list(range(n)), v)
+    g_bulk = Graph(seed=0)
+    g_bulk.build(list(range(n)), v, wave=128)
+
+    r_seq = _recall(g_seq.batch_search(q, k, ef=60)[0], gt, k)
+    r_bulk = _recall(g_bulk.batch_search(q, k, ef=60)[0], gt, k)
+    assert r_bulk >= r_seq - 0.1, (r_seq, r_bulk)
+    assert r_bulk >= 0.85
+
+
+def test_bulk_build_single_wave_and_small():
+    v = make_vectors(50, 8, seed=42)
+    g = Graph(seed=0)
+    g.build(list(range(50)), v, wave=512)
+    assert len(g) == 50
+    res = g.search(v[13], 1)
+    assert res[0][0] == 13
+
+
+def test_bulk_build_incremental_waves_onto_existing():
+    v = make_vectors(300, 16, seed=43)
+    g = Graph(seed=0)
+    g.build(list(range(200)), v[:200], wave=64)
+    g.build(list(range(200, 300)), v[200:], wave=64)
+    assert len(g) == 300
+    q = make_vectors(20, 16, seed=44)
+    _, gt = np_exact_topk(q, v, 5, "cosine")
+    r = _recall(g.batch_search(q, 5, ef=60)[0], gt, 5)
+    assert r >= 0.85
+    # newly added nodes are findable
+    assert g.search(v[250], 1)[0][0] == 250
+
+
+def test_bulk_build_rejects_duplicates_in_batch():
+    g = Graph(seed=0)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        g.build([1, 1], np.ones((2, 4), np.float32))
+
+
+def test_bulk_build_replaces_existing_keys():
+    v = make_vectors(20, 8, seed=45)
+    g = Graph(seed=0)
+    g.build(list(range(20)), v)
+    v2 = make_vectors(20, 8, seed=46)
+    g.build(list(range(10)), v2[:10])
+    assert len(g) == 20
+    np.testing.assert_array_equal(g.lookup(3), v2[3])
+    assert g.search(v2[3], 1)[0][0] == 3
+
+
+def test_bulk_then_delete_then_search():
+    v = make_vectors(200, 16, seed=47)
+    g = Graph(seed=0)
+    g.build(list(range(200)), v, wave=64)
+    g.batch_delete(list(range(0, 200, 4)))
+    assert len(g) == 150
+    res = g.search(v[1], 1)
+    assert res[0][0] == 1
+    keys, _ = g.batch_search(v[:8], 5, ef=40)
+    flat = [k for row in keys for k in row if k is not None]
+    assert all(int(k) % 4 != 0 for k in flat)
+
+
+def test_bulk_build_levels_geometric():
+    v = make_vectors(600, 8, seed=48)
+    g = Graph(seed=0)
+    g.build(list(range(600)), v, wave=200)
+    levels = g.host.levels[g.host.levels >= 0]
+    sizes = [(levels >= l).sum() for l in range(g.num_layers)]
+    assert sizes[0] == 600
+    assert 0.1 < sizes[1] / sizes[0] < 0.45

@@ -1,0 +1,101 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hnsw_tpu import Graph
+from hnsw_tpu.ops.topk import np_exact_topk
+from hnsw_tpu.parallel.sharded import (default_mesh, partitioned_graph_search,
+                                       sharded_exact_topk,
+                                       sharded_graph_search)
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_exact_matches_oracle():
+    n, d, k = 512, 16, 7
+    rng = np.random.default_rng(30)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((9, d)).astype(np.float32)
+    sq = np.sum(v * v, axis=1).astype(np.float32)
+    mesh = default_mesh()
+    dk, ik = sharded_exact_topk(jnp.asarray(q), jnp.asarray(v),
+                                jnp.asarray(sq),
+                                jnp.ones(n, bool), k=k, metric="l2",
+                                mesh=mesh)
+    gt_d, gt_i = np_exact_topk(q, v, k, "l2")
+    np.testing.assert_array_equal(np.asarray(ik), gt_i)
+    np.testing.assert_allclose(np.asarray(dk), gt_d, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_graph_search_matches_single_device():
+    rng = np.random.default_rng(31)
+    v = rng.standard_normal((300, 16)).astype(np.float32)
+    g = Graph(seed=0)
+    g.batch_add(list(range(300)), v)
+    q = rng.standard_normal((16, 16)).astype(np.float32)
+    # single-device result
+    keys1, d1 = g.batch_search(q, 5, ef=40)
+    # sharded over 8 virtual devices
+    mesh = default_mesh()
+    dev = g.device_graph()
+    d2, i2 = sharded_graph_search(dev, jnp.asarray(q), k=5, ef=40,
+                                  metric="cosine", mesh=mesh)
+    keys2 = [g.slots.keys_for(np.asarray(row)) for row in np.asarray(i2)]
+    assert keys1 == keys2
+    np.testing.assert_allclose(d1, np.asarray(d2), rtol=1e-4, atol=1e-5)
+
+
+def test_partitioned_graph_search_recall():
+    # 8 independent sub-graphs (one per device) over a partitioned
+    # dataset; merged top-k should approximate global exact search.
+    rng = np.random.default_rng(32)
+    n_per, d, k = 100, 16, 5
+    parts = [rng.standard_normal((n_per, d)).astype(np.float32)
+             for _ in range(8)]
+    graphs = []
+    for p in parts:
+        gg = Graph(seed=0, ef_construction=60)
+        gg.batch_add(list(range(n_per)), p)
+        graphs.append(gg.device_graph())
+    # stack to leading device axis; pad caps to the max
+    cap = max(g.cap for g in graphs)
+    L = max(g.num_layers for g in graphs)
+
+    def pad(g):
+        import jax.numpy as jnp
+        pc = cap - g.cap
+        pl = L - g.num_layers
+        return type(g)(
+            vectors=jnp.pad(g.vectors, ((0, pc), (0, 0))),
+            sq_norms=jnp.pad(g.sq_norms, (0, pc)),
+            neighbors=jnp.pad(g.neighbors, ((0, pl), (0, pc), (0, 0)),
+                              constant_values=-1),
+            levels=jnp.pad(g.levels, (0, pc), constant_values=-1),
+            alive=jnp.pad(g.alive, (0, pc)),
+            entry=g.entry,
+        )
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[pad(g) for g in graphs])
+    q = rng.standard_normal((6, d)).astype(np.float32)
+    mesh = default_mesh()
+    dk, ik = partitioned_graph_search(stacked, jnp.asarray(q), k=k, ef=60,
+                                      metric="cosine", mesh=mesh)
+    allv = np.concatenate(parts)
+    gt_d, gt_i = np_exact_topk(q, allv, k, "cosine")
+    ik = np.asarray(ik)
+    # decode (partition, slot) -> global row
+    globals_ = []
+    for row in ik:
+        dec = []
+        for x in row:
+            p, s = divmod(int(x), cap)
+            dec.append(p * n_per + s)
+        globals_.append(dec)
+    hits = sum(len(set(globals_[i]) & set(map(int, gt_i[i])))
+               for i in range(len(gt_i)))
+    assert hits / (len(gt_i) * k) >= 0.8
