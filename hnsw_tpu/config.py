@@ -121,8 +121,8 @@ class HybridConfig:
             raise ValueError("exact_threshold must be >= 0")
         if self.num_hash_tables <= 0 or self.num_hash_bits <= 0:
             raise ValueError("hash table params must be > 0")
-        if self.num_hash_bits > 63:
-            raise ValueError("num_hash_bits must fit in int64")
+        if self.num_hash_bits > 30:
+            raise ValueError("num_hash_bits must be <= 30 (int32 packing)")
         if self.num_partitions <= 0 or self.partition_size <= 0:
             raise ValueError("partition params must be > 0")
         canonical_metric(self.metric)

@@ -1,0 +1,240 @@
+"""Adaptive hybrid index — capability parity with hybrid/adaptive.go +
+hybrid/adaptive_hybrid.go.
+
+AdaptiveSelector: a per-query strategy bandit. Selection order mirrors
+adaptive.go:196-241: ε-greedy exploration, threshold rules (size ->
+exact, dim -> lsh, query-cluster hit -> hybrid, else hnsw), overridden
+by a weighted performance score (latency/recall/success,
+adaptive.go:346-372) once enough samples exist. Thresholds self-tune
+multiplicatively from observed relative latencies (adaptive.go:316-343).
+Query clustering keys on the rounded query prefix (adaptive.go:375-424).
+
+AdaptiveHybridIndex (adaptive_hybrid.go): writes every vector to ALL
+three sub-indexes and dispatches per query with fallback chains
+HNSW <-> LSH -> Exact. Metrics are recorded synchronously (the
+reference's detached-goroutine recording is an artifact of Go, not a
+capability).
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from typing import Any, Dict, Hashable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hnsw_tpu.config import AdaptiveConfig, HybridConfig
+from hnsw_tpu.index.exact import ExactIndex
+from hnsw_tpu.index.hnsw import Graph
+from hnsw_tpu.index.lsh import LSHIndex
+from hnsw_tpu.telemetry import (DistanceStats, MetricsWindow, QueryMetrics)
+
+STRATEGIES = ("exact", "lsh", "hnsw", "hybrid")
+
+
+class AdaptiveSelector:
+    """hybrid/adaptive.go:49+."""
+
+    def __init__(self, config: Optional[AdaptiveConfig] = None,
+                 seed: int = 42):
+        self.cfg = config or AdaptiveConfig()
+        self.cfg.validate()
+        self.metrics = MetricsWindow(self.cfg.window_size)
+        self.exact_threshold = self.cfg.initial_exact_threshold
+        self.dim_threshold = self.cfg.initial_dim_threshold
+        self.rng = random.Random(seed)
+        self.query_clusters: Dict[str, int] = {}
+
+    # -- query clustering (adaptive.go:375-424) ------------------------------
+    def _cluster_key(self, query: np.ndarray) -> str:
+        head = np.round(np.asarray(query[:8], np.float64), 1)
+        return ",".join(f"{x:.1f}" for x in head)
+
+    def observe_query_cluster(self, query: np.ndarray) -> bool:
+        key = self._cluster_key(query)
+        seen = self.query_clusters.get(key, 0)
+        self.query_clusters[key] = seen + 1
+        if len(self.query_clusters) > 10_000:  # bound memory
+            self.query_clusters.clear()
+        return seen >= 3
+
+    # -- selection (adaptive.go:196-241) ---------------------------------------
+    def select_strategy(self, query: np.ndarray, dataset_size: int,
+                        dim: int) -> str:
+        if self.rng.random() < self.cfg.exploration_factor:
+            return self.rng.choice(STRATEGIES[:3])  # explore
+        clustered = self.observe_query_cluster(query)
+        if dataset_size <= self.exact_threshold:
+            choice = "exact"
+        elif dim > self.dim_threshold:
+            choice = "lsh"
+        elif clustered:
+            choice = "hybrid"
+        else:
+            choice = "hnsw"
+        if self._enough_samples():
+            perf = self._select_by_performance()
+            if perf is not None:
+                choice = perf
+        return choice
+
+    def _enough_samples(self) -> bool:
+        return (self.metrics.total >= self.cfg.min_samples_for_adaptation
+                and len(self.metrics.by_strategy) >= 2)
+
+    def _select_by_performance(self) -> Optional[str]:
+        """Weighted latency/recall/success score (adaptive.go:346-372);
+        higher is better."""
+        best, best_score = None, -np.inf
+        lats = {s: st.avg_latency()
+                for s, st in self.metrics.by_strategy.items() if st.count}
+        if not lats:
+            return None
+        max_lat = max(lats.values()) or 1e-9
+        for s, st in self.metrics.by_strategy.items():
+            if st.count < 3:
+                continue
+            lat_score = 1.0 - (st.avg_latency() / max_lat)
+            recall = st.avg_recall() or 0.5
+            score = (self.cfg.latency_weight * lat_score
+                     + self.cfg.recall_weight * recall
+                     + self.cfg.success_rate_weight * st.success_rate())
+            if score > best_score:
+                best, best_score = s, score
+        return best
+
+    # -- recording + threshold adaptation (adaptive.go:244-343) ----------------
+    def record(self, m: QueryMetrics) -> None:
+        self.metrics.record(m)
+        if self.metrics.total % 10 == 0:
+            self._adapt_thresholds()
+
+    def _adapt_thresholds(self) -> None:
+        lr = self.cfg.learning_rate
+        ex = self.metrics.stats("exact")
+        hn = self.metrics.stats("hnsw")
+        ls = self.metrics.stats("lsh")
+        if ex and hn and ex.count >= 3 and hn.count >= 3:
+            if ex.avg_latency() < hn.avg_latency():
+                self.exact_threshold = int(self.exact_threshold * (1 + lr))
+            else:
+                self.exact_threshold = max(
+                    100, int(self.exact_threshold * (1 - lr)))
+        if ls and hn and ls.count >= 3 and hn.count >= 3:
+            if ls.avg_latency() < hn.avg_latency():
+                self.dim_threshold = max(
+                    32, int(self.dim_threshold * (1 - lr)))
+            else:
+                self.dim_threshold = int(self.dim_threshold * (1 + lr))
+
+    def get_stats(self) -> Dict[str, Any]:
+        """adaptive.go:436-469 GetStats."""
+        return {
+            "strategies": self.metrics.as_dict(),
+            "exact_threshold": self.exact_threshold,
+            "dim_threshold": self.dim_threshold,
+            "total_queries": self.metrics.total,
+        }
+
+
+class AdaptiveHybridIndex:
+    """hybrid/adaptive_hybrid.go — every vector in all sub-indexes,
+    per-query adaptive dispatch with fallbacks."""
+
+    def __init__(self, hybrid_config: Optional[HybridConfig] = None,
+                 adaptive_config: Optional[AdaptiveConfig] = None):
+        self.hcfg = hybrid_config or HybridConfig()
+        self.hcfg.validate()
+        self.selector = AdaptiveSelector(adaptive_config,
+                                         seed=self.hcfg.seed)
+        self.exact = ExactIndex(metric=self.hcfg.metric)
+        self.graph = Graph(m=self.hcfg.m, ml=self.hcfg.ml,
+                           ef_search=self.hcfg.ef_search,
+                           metric=self.hcfg.metric, seed=self.hcfg.seed)
+        self.lsh = LSHIndex(metric=self.hcfg.metric,
+                            num_tables=self.hcfg.num_hash_tables,
+                            num_bits=self.hcfg.num_hash_bits,
+                            seed=self.hcfg.seed)
+        self._dim: Optional[int] = None
+
+    def __len__(self) -> int:
+        return len(self.exact)
+
+    # -- mutation (adaptive_hybrid.go:64-129: all three) ------------------------
+    def add(self, key: Hashable, vector) -> None:
+        self.batch_add([key], np.asarray(vector, np.float32)[None])
+
+    def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        self._dim = vectors.shape[1]
+        self.exact.batch_add(keys, vectors)
+        if len(keys) >= 256:
+            self.graph.build(list(keys), vectors)
+        else:
+            self.graph.batch_add(list(keys), vectors)
+        self.lsh.batch_add(keys, vectors)
+
+    def delete(self, key: Hashable) -> bool:
+        a = self.exact.delete(key)
+        b = self.graph.delete(key)
+        c = self.lsh.delete(key)
+        return a or b or c
+
+    def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
+        return [self.delete(k) for k in keys]
+
+    # -- search (adaptive_hybrid.go:132-282) --------------------------------------
+    def _run(self, strategy: str, query: np.ndarray, k: int
+             ) -> List[Tuple[Any, float]]:
+        if strategy == "exact":
+            return self.exact.search(query, k)
+        if strategy == "lsh":
+            return self.lsh.search(query, k)
+        if strategy == "hybrid":
+            # LSH candidates + graph refinement, merged
+            res = {k_: d for k_, d in self.lsh.search(query, k)}
+            for k_, d in self.graph.search(query, k):
+                res.setdefault(k_, d)
+            return sorted(res.items(), key=lambda r: r[1])[:k]
+        return self.graph.search(query, k)
+
+    def search(self, query, k: int) -> List[Tuple[Any, float]]:
+        query = np.asarray(query, np.float32)
+        strat = self.selector.select_strategy(
+            query, len(self), self._dim or len(query))
+        t0 = time.perf_counter()
+        success = True
+        try:
+            res = self._run(strat, query, k)
+            # fallback chain (adaptive_hybrid.go:145-233)
+            if len(res) < min(k, len(self)):
+                for fb in ("hnsw", "lsh", "exact"):
+                    if fb == strat:
+                        continue
+                    res = self._run(fb, query, k)
+                    if len(res) >= min(k, len(self)):
+                        strat = fb
+                        break
+        except Exception:
+            success = False
+            res = self.exact.search(query, k)
+            strat = "exact"
+        dt = time.perf_counter() - t0
+        self.selector.record(QueryMetrics(
+            strategy=strat, duration_s=dt, result_count=len(res),
+            success=success,
+            distance_stats=DistanceStats.from_distances(
+                [d for _, d in res])))
+        return res
+
+    def batch_search(self, queries, k: int) -> List[List[Tuple[Any, float]]]:
+        return [self.search(q, k) for q in np.atleast_2d(
+            np.asarray(queries, np.float32))]
+
+    def get_stats(self) -> Dict[str, Any]:
+        return self.selector.get_stats()
+
+    def close(self) -> None:
+        self.exact.close()
+        self.lsh.close()

@@ -1,0 +1,192 @@
+"""LSH index — capability parity with hybrid/lsh.go.
+
+Random-hyperplane LSH: T tables x B bits (defaults 4x8, seed 42 —
+hybrid/hybrid.go:85-122, lsh.go:64). Hashing is one device matmul for
+the whole batch (ops/hashing); buckets live on host as dicts; search =
+bucket-union candidate generation (lsh.go:175 GetCandidates) + batched
+exact re-rank on device (lsh.go:204 Search).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Hashable, List, Optional, Sequence, Set, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.config import canonical_metric
+from hnsw_tpu.ops.distance import INF_DIST
+from hnsw_tpu.ops.hashing import hash_codes, make_hyperplanes
+from hnsw_tpu.core.build import _cand_dist_dev
+from hnsw_tpu.core.state import bucket_pow2
+from hnsw_tpu.utils.keystore import HostVectorStore, SlotMap
+
+
+class LSHIndex:
+    """Approximate index via locality-sensitive hashing."""
+
+    def __init__(self, dim: Optional[int] = None, metric: str = "cosine",
+                 num_tables: int = 4, num_bits: int = 8, seed: int = 42):
+        if num_bits > 30:
+            raise ValueError("num_bits must be <= 30 (int32 packing)")
+        self.metric = canonical_metric(metric)
+        self.num_tables = num_tables
+        self.num_bits = num_bits
+        self.seed = seed
+        self.slots = SlotMap()
+        self.store = HostVectorStore(dim)
+        self.planes: Optional[np.ndarray] = None  # lazy init (lsh.go:64)
+        # tables[t]: code -> set of slots (lsh.go's []map[uint64][]K)
+        self.tables: List[Dict[int, Set[int]]] = [
+            dict() for _ in range(num_tables)]
+        self._codes: Dict[int, np.ndarray] = {}  # slot -> [T] codes
+        self._dev = None
+        self._dirty = True
+
+    def _ensure_planes(self, dim: int) -> None:
+        if self.planes is None:
+            self.planes = make_hyperplanes(self.num_tables, self.num_bits,
+                                           dim, self.seed)
+
+    # -- mutation -----------------------------------------------------------
+    def add(self, key: Hashable, vector) -> None:
+        self.batch_add([key], np.asarray(vector, np.float32)[None])
+
+    def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        if len(keys) != len(vectors):
+            raise ValueError("keys/vectors length mismatch")
+        self.store.ensure_dim(vectors.shape[1])
+        self._ensure_planes(vectors.shape[1])
+        for k in keys:
+            if k in self.slots:
+                self.delete(k)
+        slot_list = np.asarray([self.slots.assign(k)[0] for k in keys])
+        self.store.put_batch(slot_list, vectors)
+        codes = np.asarray(hash_codes(jnp.asarray(vectors),
+                                      jnp.asarray(self.planes)))
+        for slot, code_row in zip(slot_list, codes):
+            slot = int(slot)
+            self._codes[slot] = code_row
+            for t in range(self.num_tables):
+                self.tables[t].setdefault(int(code_row[t]), set()).add(slot)
+        self._dirty = True
+
+    def delete(self, key: Hashable) -> bool:
+        slot = self.slots.slot_of(key)
+        if slot is None:
+            return False
+        code_row = self._codes.pop(slot, None)
+        if code_row is not None:
+            for t in range(self.num_tables):
+                bucket = self.tables[t].get(int(code_row[t]))
+                if bucket:
+                    bucket.discard(slot)
+                    if not bucket:
+                        del self.tables[t][int(code_row[t])]
+        self.store.kill(slot)
+        self.slots.release(key)
+        self._dirty = True
+        return True
+
+    def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
+        return [self.delete(k) for k in keys]
+
+    def __len__(self) -> int:
+        return len(self.slots)
+
+    def close(self) -> None:
+        self._dev = None
+
+    # -- candidates + search ---------------------------------------------------
+    def get_candidates(self, query) -> List[int]:
+        """Union of the query's buckets across tables (lsh.go:175)."""
+        query = np.asarray(query, np.float32)
+        if self.planes is None or len(self.slots) == 0:
+            return []
+        codes = np.asarray(hash_codes(jnp.asarray(query[None]),
+                                      jnp.asarray(self.planes)))[0]
+        out: Set[int] = set()
+        for t in range(self.num_tables):
+            out |= self.tables[t].get(int(codes[t]), set())
+        return sorted(out)
+
+    def _dev_arrays(self):
+        if self._dirty or self._dev is None:
+            n = self.slots.capacity_used
+            n_pad = bucket_pow2(max(n, 8))
+            v = np.zeros((n_pad, self.store.dim), np.float32)
+            sq = np.zeros((n_pad,), np.float32)
+            if n:
+                v[:n] = self.store.vectors[:n]
+                sq[:n] = self.store.sq_norms[:n]
+            self._dev = (jnp.asarray(v), jnp.asarray(sq))
+            self._dirty = False
+        return self._dev
+
+    def batch_search(self, queries, k: int
+                     ) -> Tuple[List[List[Any]], np.ndarray]:
+        """Bucket-union candidates per query, then one batched exact
+        re-rank on device over the padded candidate matrix."""
+        if k <= 0:
+            raise ValueError(f"k must be greater than 0, got {k}")
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        Q = queries.shape[0]
+        if len(self.slots) == 0:
+            return ([[None] * k for _ in range(Q)],
+                    np.full((Q, k), INF_DIST, np.float32))
+        cand_lists = [self.get_candidates(q) for q in queries]
+        C = max(1, max((len(c) for c in cand_lists), default=1))
+        C = bucket_pow2(C, 8)
+        cands = np.full((Q, C), -1, np.int64)
+        for qi, cl in enumerate(cand_lists):
+            cands[qi, :len(cl)] = cl
+
+        # distances query->their own candidates. _cand_dist_dev anchors
+        # by index, so stack query vectors into a scratch device array?
+        # Simpler: compute on host via gathered numpy when tiny, device
+        # when big.
+        v, sq = self._dev_arrays()
+        Qp = bucket_pow2(Q, 8)
+        qv = np.zeros((Qp, queries.shape[1]), np.float32)
+        qv[:Q] = queries
+        cp = np.full((Qp, C), -1, np.int64)
+        cp[:Q] = cands
+        d = np.asarray(_lsh_rerank(jnp.asarray(qv), v, sq,
+                                   jnp.asarray(cp), self.metric))[:Q]
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        dd = np.take_along_axis(d, order, axis=1)
+        ii = np.take_along_axis(cands, order, axis=1)
+        ii = np.where(dd < INF_DIST / 2, ii, -1)
+        keys = [self.slots.keys_for(row) for row in ii]
+        if dd.shape[1] < k:
+            pad = k - dd.shape[1]
+            dd = np.pad(dd, ((0, 0), (0, pad)), constant_values=INF_DIST)
+            for row in keys:
+                row.extend([None] * pad)
+        return keys, dd.astype(np.float32)
+
+    def search(self, query, k: int) -> List[Tuple[Any, float]]:
+        keys, dists = self.batch_search(np.asarray(query, np.float32)[None], k)
+        return [(kk, float(dd)) for kk, dd in zip(keys[0], dists[0])
+                if kk is not None]
+
+
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _lsh_rerank(queries: jnp.ndarray, vectors: jnp.ndarray,
+                sq: jnp.ndarray, cands: jnp.ndarray,
+                metric: str) -> jnp.ndarray:
+    """Distances from each query to ITS candidate list ([-1 padded])."""
+    from hnsw_tpu.ops.distance import gathered_dist
+    safe = jnp.clip(cands, 0, vectors.shape[0] - 1)
+    cv = vectors[safe]
+    cs = sq[safe]
+    q_sq = jnp.sum(queries * queries, axis=-1)
+    d = gathered_dist(queries, cv, cs, q_sq, metric=metric,
+                      precision=jax.lax.Precision.HIGHEST)
+    return jnp.where(cands >= 0, d, INF_DIST)

@@ -1,0 +1,188 @@
+"""Hybrid / LSH / partitioner / adaptive tests.
+
+Recall harness mirrors hybrid/benchmark_test.go:273's pattern: exact
+index provides ground truth; each strategy's recall is measured
+against it.
+"""
+
+import numpy as np
+import pytest
+
+from hnsw_tpu.config import AdaptiveConfig, HybridConfig
+from hnsw_tpu.index.adapters import MultiIndexAdapter, SearchableIndex
+from hnsw_tpu.index.adaptive import AdaptiveHybridIndex, AdaptiveSelector
+from hnsw_tpu.index.exact import ExactIndex
+from hnsw_tpu.index.hnsw import Graph
+from hnsw_tpu.index.hybrid import HybridIndex
+from hnsw_tpu.index.lsh import LSHIndex
+from hnsw_tpu.index.partitioner import Partitioner
+from hnsw_tpu.ops.topk import np_exact_topk
+from tests.conftest import make_vectors
+
+
+# ------------------------------------------------------------------ LSH
+
+def test_lsh_recall_reasonable():
+    n, d, k = 400, 32, 10
+    v = make_vectors(n, d, seed=60, kind="clustered")
+    idx = LSHIndex(num_tables=8, num_bits=6)
+    idx.batch_add(list(range(n)), v)
+    q = v[:20] + 0.01 * make_vectors(20, d, seed=61)
+    _, gt = np_exact_topk(q, v, k, "cosine")
+    keys, _ = idx.batch_search(q, k)
+    hits = sum(len({x for x in keys[i] if x is not None} &
+                   set(map(int, gt[i]))) for i in range(20))
+    assert hits / (20 * k) >= 0.3  # LSH is coarse; candidates must help
+    # the query vector itself must always be found
+    for i in range(20):
+        assert keys[i][0] == i
+
+
+def test_lsh_candidates_and_delete():
+    v = make_vectors(100, 16, seed=62)
+    idx = LSHIndex()
+    idx.batch_add(list(range(100)), v)
+    cands = idx.get_candidates(v[5])
+    assert 5 in cands
+    assert idx.delete(5)
+    assert 5 not in idx.get_candidates(v[5])
+    assert not idx.delete(5)
+    assert len(idx) == 99
+
+
+def test_lsh_duplicate_key_replace():
+    idx = LSHIndex()
+    idx.add("a", np.ones(8, np.float32))
+    idx.add("a", -np.ones(8, np.float32))
+    assert len(idx) == 1
+    assert idx.search(-np.ones(8, np.float32), 1)[0][0] == "a"
+
+
+# ----------------------------------------------------------- partitioner
+
+def test_partitioner_assign_and_rebalance():
+    v = make_vectors(200, 16, seed=63, kind="clustered")
+    p = Partitioner(4)
+    parts = p.batch_assign(list(range(200)), v)
+    assert len(parts) == 200
+    assert sum(p.partition_sizes()) == 200
+    moved = p.rebalance()
+    assert sum(p.partition_sizes()) == 200
+    assert moved >= 0
+    # nearby vectors land in the same partition
+    a = p.assign("x", v[0])
+    b = p.assign("y", v[0] + 1e-4)
+    assert a == b
+    assert p.remove("x")
+    assert not p.remove("x")
+    s = p.stats()
+    assert s["total"] == 201
+
+
+# ---------------------------------------------------------------- hybrid
+
+def test_hybrid_small_uses_exact():
+    v = make_vectors(50, 16, seed=64)
+    h = HybridIndex(config=HybridConfig(exact_threshold=100))
+    h.batch_add(list(range(50)), v)
+    res = h.search(v[7], 5)
+    assert res[0][0] == 7
+    assert h.stats.last_strategy == "exact"
+    assert len(h) == 50
+
+
+def test_hybrid_migrates_past_threshold():
+    v = make_vectors(300, 16, seed=65)
+    h = HybridIndex(config=HybridConfig(exact_threshold=100))
+    h.batch_add(list(range(100)), v[:100])
+    assert h.stats.last_strategy == ""
+    assert len(h.exact) == 100
+    h.batch_add(list(range(100, 300)), v[100:])
+    assert len(h.exact) == 0            # migrated
+    assert len(h.graph) == 300
+    res = h.search(v[42], 5)
+    assert res[0][0] == 42
+    assert h.stats.last_strategy == "hnsw"
+    _, gt = np_exact_topk(v[:10], v, 5, "cosine")
+    keys, _ = h.batch_search(v[:10], 5)
+    hits = sum(len({x for x in keys[i] if x is not None} &
+                   set(map(int, gt[i]))) for i in range(10))
+    assert hits / 50 >= 0.8
+
+
+def test_hybrid_delete_fans_out():
+    v = make_vectors(150, 8, seed=66)
+    h = HybridIndex(config=HybridConfig(exact_threshold=50))
+    h.batch_add(list(range(150)), v)
+    assert h.delete(3)
+    assert not h.delete(3)
+    assert len(h) == 149
+    keys, _ = h.batch_search(v[3:4], 5)
+    assert 3 not in keys[0]
+    assert h.get_partition_stats()["total"] == 149
+    assert h.force_rebalance() >= 0
+
+
+# --------------------------------------------------------------- adaptive
+
+def test_adaptive_selector_thresholds_and_exploration():
+    sel = AdaptiveSelector(AdaptiveConfig(exploration_factor=0.0))
+    q = np.ones(16, np.float32)
+    # small dataset -> exact
+    assert sel.select_strategy(q, 100, 16) == "exact"
+    # large dim -> lsh
+    assert sel.select_strategy(q, 10_000, 1024) == "lsh"
+    # medium -> hnsw (first sightings; cluster kicks in after repeats)
+    q2 = np.arange(16).astype(np.float32)
+    assert sel.select_strategy(q2, 10_000, 64) == "hnsw"
+    for _ in range(4):
+        sel.select_strategy(q2, 10_000, 64)
+    assert sel.select_strategy(q2, 10_000, 64) == "hybrid"
+
+
+def test_adaptive_selector_performance_override():
+    from hnsw_tpu.telemetry import QueryMetrics
+    sel = AdaptiveSelector(AdaptiveConfig(exploration_factor=0.0,
+                                          min_samples_for_adaptation=10))
+    for i in range(20):
+        sel.record(QueryMetrics(strategy="hnsw", duration_s=0.001,
+                                result_count=10, recall=0.95))
+        sel.record(QueryMetrics(strategy="exact", duration_s=0.1,
+                                result_count=10, recall=1.0))
+    # hnsw is 100x faster at comparable recall -> should win
+    q = np.ones(8, np.float32)
+    assert sel.select_strategy(q, 50, 8) == "hnsw"
+
+
+def test_adaptive_hybrid_end_to_end():
+    v = make_vectors(300, 24, seed=67)
+    a = AdaptiveHybridIndex(
+        hybrid_config=HybridConfig(exact_threshold=100),
+        adaptive_config=AdaptiveConfig(exploration_factor=0.0))
+    a.batch_add(list(range(300)), v)
+    assert len(a) == 300
+    res = a.search(v[11], 5)
+    assert res[0][0] == 11
+    stats = a.get_stats()
+    assert stats["total_queries"] >= 1
+    assert a.delete(11)
+    res = a.search(v[11], 5)
+    assert res[0][0] != 11
+    out = a.batch_search(v[:4], 3)
+    assert len(out) == 4
+
+
+def test_multi_index_adapter():
+    v = make_vectors(80, 8, seed=68)
+    e = ExactIndex()
+    l = LSHIndex()
+    m = MultiIndexAdapter([e, l])
+    m.batch_add(list(range(80)), v)
+    assert len(m) == 80
+    res = m.search(v[9], 5)
+    assert res[0][0] == 9
+    assert m.delete(9)
+    assert m.search(v[9], 1)[0][0] != 9
+    assert isinstance(e, SearchableIndex)
+    g = Graph(seed=0)
+    assert isinstance(g, SearchableIndex)

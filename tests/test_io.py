@@ -1,0 +1,196 @@
+"""Persistence tests: table codecs, WAL, disk graph, streaming appender.
+
+Mirrors the reference's persistence integration pattern: real temp
+dirs, close -> reopen round trips (parquet/graph_test.go:54), WAL
+overlay + compaction triggers (parquet/incremental_test.go:13,134,182),
+and the in-memory-vs-disk quality oracle (parquet/graph_test.go:179).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from hnsw_tpu import Graph
+from hnsw_tpu.io import table as T
+from hnsw_tpu.io.appender import ArrowAppender, AppenderConfig
+from hnsw_tpu.io.disk_graph import DiskGraph
+from hnsw_tpu.io.wal import IncrementalStore
+from tests.conftest import make_vectors
+
+FMTS = ["parquet", "arrow", "npz"]
+
+
+# -------------------------------------------------------------- table codecs
+
+@pytest.mark.parametrize("fmt", FMTS)
+def test_vector_table_round_trip(fmt, tmp_path):
+    v = make_vectors(20, 8, seed=70)
+    p = str(tmp_path / f"v.{T.ext_for(fmt)}")
+    T.write_vectors(p, list(range(20)), v, fmt)
+    keys, vecs = T.read_vectors(p, fmt)
+    assert keys == list(range(20))
+    np.testing.assert_allclose(vecs, v, rtol=1e-6)
+
+
+@pytest.mark.parametrize("fmt", FMTS)
+def test_string_keys_round_trip(fmt, tmp_path):
+    v = make_vectors(3, 4, seed=71)
+    p = str(tmp_path / f"v.{T.ext_for(fmt)}")
+    T.write_vectors(p, ["a", "b", "c"], v, fmt)
+    keys, _ = T.read_vectors(p, fmt)
+    assert keys == ["a", "b", "c"]
+
+
+@pytest.mark.parametrize("fmt", FMTS)
+def test_edges_round_trip(fmt, tmp_path):
+    p = str(tmp_path / f"e.{T.ext_for(fmt)}")
+    T.write_edges(p, np.array([0, 0, 1]), [1, 2, 3], [2, 3, 1], fmt)
+    lids, keys, nbrs = T.read_edges(p, fmt)
+    assert list(lids) == [0, 0, 1]
+    assert keys == [1, 2, 3]
+    assert nbrs == [2, 3, 1]
+
+
+# ------------------------------------------------------------------- WAL
+
+def test_wal_overlay_and_get(tmp_path):
+    w = IncrementalStore(str(tmp_path), fmt="npz", max_changes=3)
+    v = make_vectors(5, 4, seed=72)
+    w.record_add("a", v[0])
+    w.record_add("b", v[1])
+    found, vec = w.get_vector("a")        # pending read
+    assert found and np.allclose(vec, v[0])
+    w.record_add("c", v[2])               # triggers flush (max 3)
+    assert w.num_log_files == 1
+    assert not w.pending
+    found, vec = w.get_vector("b")        # log-file read
+    assert found and np.allclose(vec, v[1])
+    w.record_delete("a")
+    found, vec = w.get_vector("a")
+    assert found and vec is None          # tombstone
+    ov = w.overlay()
+    assert ov["a"] is None and np.allclose(ov["c"], v[2])
+
+
+def test_wal_compaction(tmp_path):
+    w = IncrementalStore(str(tmp_path), fmt="npz", max_changes=2,
+                         max_log_files=1)
+    v = make_vectors(6, 4, seed=73)
+    base_keys = ["x", "y"]
+    base_vecs = v[:2]
+    for i in range(4):
+        w.record_add(f"k{i}", v[i + 2])
+    assert w.num_log_files == 2
+    assert w.should_compact()
+    w.record_delete("x")
+    keys, vecs = w.compact(base_keys, base_vecs)
+    assert w.num_log_files == 0
+    assert set(keys) == {"y", "k0", "k1", "k2", "k3"}
+    got = dict(zip(keys, vecs))
+    np.testing.assert_allclose(got["y"], v[1])
+    np.testing.assert_allclose(got["k2"], v[4])
+
+
+# ---------------------------------------------------------------- disk graph
+
+@pytest.mark.parametrize("fmt", FMTS)
+def test_disk_graph_close_reopen(fmt, tmp_path):
+    d = str(tmp_path / "dg")
+    v = make_vectors(120, 16, seed=74)
+    g = DiskGraph(d, fmt=fmt)
+    g.batch_add(list(range(120)), v)
+    res1 = g.search(v[7], 5)
+    g.close()
+    # reopen: structure restored from tables
+    g2 = DiskGraph(d, fmt=fmt)
+    assert len(g2) == 120
+    res2 = g2.search(v[7], 5)
+    assert res2[0][0] == 7
+    assert [k for k, _ in res1] == [k for k, _ in res2]
+
+
+def test_disk_graph_wal_replay_on_open(tmp_path):
+    d = str(tmp_path / "dg")
+    v = make_vectors(60, 8, seed=75)
+    g = DiskGraph(d, fmt="npz")
+    g.batch_add(list(range(50)), v[:50])
+    g.save()
+    # adds + delete recorded in WAL but NOT persisted via save
+    for i in range(50, 60):
+        g.graph.add(i, v[i])
+        g.wal.record_add(i, v[i])
+    g.wal.record_delete(3)
+    g.wal.flush()
+    # simulate crash: reopen from disk; WAL must replay
+    g2 = DiskGraph(d, fmt="npz")
+    assert len(g2) == 59
+    assert g2.search(v[55], 1)[0][0] == 55
+    assert g2.graph.lookup(3) is None
+
+
+def test_disk_graph_quality_parity_with_memory(tmp_path):
+    # the reference's oracle: disk-backed results ~= in-memory results
+    # (parquet/graph_test.go:179, InDelta 0.1 on avg distance)
+    v = make_vectors(300, 16, seed=76)
+    q = make_vectors(20, 16, seed=77)
+    mem = Graph(seed=0)
+    mem.batch_add(list(range(300)), v)
+    dg = DiskGraph(str(tmp_path / "dg"), fmt="parquet")
+    dg.batch_add(list(range(300)), v)
+    _, d_mem = mem.batch_search(q, 10, ef=60)
+    _, d_dsk = dg.graph.batch_search(q, 10, ef=60)
+    assert abs(float(np.mean(d_mem)) - float(np.mean(d_dsk))) < 0.1
+
+
+def test_disk_graph_stats_and_compact(tmp_path):
+    d = str(tmp_path / "dg")
+    v = make_vectors(40, 8, seed=78)
+    g = DiskGraph(d, fmt="npz")
+    g.batch_add(list(range(40)), v)
+    g.optimize()
+    s = g.stats()
+    assert s["count"] == 40
+    assert s["vectors_bytes"] > 0
+    assert s["wal_log_files"] == 0
+
+
+# ----------------------------------------------------------------- appender
+
+def test_appender_stream():
+    import pyarrow as pa
+    v = make_vectors(25, 8, seed=79)
+    g = Graph(seed=0)
+    app = ArrowAppender(g, AppenderConfig(batch_size=10))
+
+    def batches():
+        for i in range(0, 25, 5):
+            yield pa.RecordBatch.from_pydict({
+                "key": list(range(i, i + 5)),
+                "vector": [v[j].tolist() for j in range(i, i + 5)],
+            })
+
+    n = app.stream_records(batches())
+    assert n == 25
+    assert len(g) == 25
+    assert g.search(v[13], 1)[0][0] == 13
+
+
+def test_appender_async_and_validation():
+    import pyarrow as pa
+    v = make_vectors(10, 4, seed=80)
+    g = Graph(seed=0)
+    app = ArrowAppender(g)
+    h = app.stream_records_async(iter([pa.RecordBatch.from_pydict({
+        "key": list(range(10)),
+        "vector": [x.tolist() for x in v],
+    })]))
+    assert h.result(30) == 10
+    assert len(g) == 10
+    # schema validation errors
+    bad = pa.RecordBatch.from_pydict({"key": [1], "vec": [[1.0]]})
+    with pytest.raises(ValueError, match="vector"):
+        app.append_record(bad)
+    bad2 = pa.RecordBatch.from_pydict({"key": [1.5], "vector": [[1.0]]})
+    with pytest.raises(ValueError, match="key field"):
+        app.append_record(bad2)
