@@ -235,6 +235,46 @@ class HostGraph:
         if level > self.top:
             self.top, self.entry = level, slot
 
+    # -- native-accelerated batch entry points -----------------------------
+    def insert_many(self, slots, levels=None) -> None:
+        """Sequential insert of stored slots; native C++ fast path with
+        pure-Python fallback. Vectors must already be in the store."""
+        slots = [int(s) for s in slots]
+        if not slots:
+            return
+        if levels is None:
+            # level cap grows with the running node count (graph.go:400)
+            levels = []
+            for i in range(len(slots)):
+                cap = max_level(self.cfg.ml, self.count + i)
+                lvl = 0
+                while lvl < cap and self.rng.random() <= self.cfg.ml:
+                    lvl += 1
+                levels.append(lvl)
+        self._ensure(max(slots), max(levels))
+        from hnsw_tpu import native
+        if native.available():
+            import numpy as _np
+            if native.insert_batch(self, _np.asarray(slots, _np.int64),
+                                   _np.asarray(levels, _np.int32)):
+                if self.top >= 0 and self.entry >= 0:
+                    return
+        for s, l in zip(slots, levels):
+            self.insert(s, self.store.vectors[s], level=l)
+
+    def delete_many(self, slots) -> None:
+        slots = [int(s) for s in slots if self.levels[int(s)] >= 0]
+        if not slots:
+            return
+        from hnsw_tpu import native
+        if native.available():
+            import numpy as _np
+            if native.delete_batch(self,
+                                   _np.asarray(slots, _np.int64)):
+                return
+        for s in slots:
+            self.delete(s)
+
     # -- delete (graph.go:843-895, 223-235) --------------------------------------
     def delete(self, slot: int) -> None:
         level = int(self.levels[slot])

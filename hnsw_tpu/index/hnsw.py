@@ -82,7 +82,7 @@ class Graph:
             self.delete(key)
         slot, _ = self.slots.assign(key)
         self.store.put(slot, vec)
-        self.host.insert(slot, self.store.vectors[slot])
+        self.host.insert_many([slot])
         self._dirty = True
 
     def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
@@ -91,8 +91,18 @@ class Graph:
         vectors = np.asarray(vectors, np.float32)
         if len(keys) != len(vectors):
             raise ValueError("keys/vectors length mismatch")
-        for k, v in zip(keys, vectors):
-            self.add(k, v)
+        if len(set(keys)) != len(keys):
+            # duplicate-in-batch: sequential last-wins (graph.go:1016-1023)
+            for k, v in zip(keys, vectors):
+                self.add(k, v)
+            return
+        for k in keys:
+            if k in self.slots:
+                self.delete(k)
+        slot_list = [self.slots.assign(k)[0] for k in keys]
+        self.store.put_batch(np.asarray(slot_list, np.int64), vectors)
+        self.host.insert_many(slot_list)
+        self._dirty = True
 
     def build(self, keys: Sequence[Hashable], vectors,
               wave: int = 1024) -> None:
@@ -119,15 +129,29 @@ class Graph:
         slot = self.slots.slot_of(key)
         if slot is None:
             return False
-        self.host.delete(slot)
+        self.host.delete_many([slot])
         self.store.kill(slot)
         self.slots.release(key)
         self._dirty = True
         return True
 
     def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
-        """graph.go:869 BatchDelete: per-key success flags."""
-        return [self.delete(k) for k in keys]
+        """graph.go:869 BatchDelete: per-key success flags; one
+        vectorized in-edge sweep + repair pass for the whole batch."""
+        oks, slots = [], []
+        for k in keys:
+            s = self.slots.slot_of(k)
+            if s is None:
+                oks.append(False)
+                continue
+            oks.append(True)
+            slots.append(s)
+            self.store.kill(s)
+            self.slots.release(k)
+        if slots:
+            self.host.delete_many(slots)
+            self._dirty = True
+        return oks
 
     def lookup(self, key: Hashable) -> Optional[np.ndarray]:
         """O(1) vector fetch (graph.go:898 Lookup)."""

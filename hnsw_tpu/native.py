@@ -1,0 +1,174 @@
+"""ctypes bindings for the native C++ host engine (native/hnsw_native.cpp).
+
+The library is compiled on first use with g++ -O3 -march=native and
+cached next to the source. If the toolchain is unavailable the caller
+falls back to the pure-Python host path (core/host_build.py) — same
+semantics, slower.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_METRIC_CODE = {"cosine": 0, "l2": 1, "sqeuclidean": 2, "dot": 3}
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native", "hnsw_native.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "libhnsw_native.so")
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and (os.path.getmtime(_SO) >=
+                                os.path.getmtime(_SRC)):
+        return _SO
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+           _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Compile (once) and load the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        i32, i64, f32p = ctypes.c_int32, ctypes.c_int64, ctypes.POINTER(
+            ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.hnsw_insert_batch.restype = ctypes.c_int
+        lib.hnsw_insert_batch.argtypes = [
+            f32p, f32p, i32p, i32p, i64, i32, i32, i32, i32, i32, i32,
+            i32, i32, i64p, i32p, i64, i32p, i32p]
+        lib.hnsw_delete_batch.restype = i64
+        lib.hnsw_delete_batch.argtypes = [
+            f32p, f32p, i32p, i32p, i64, i32, i32, i32, i32, i32, i32,
+            i32, i32, i64p, i64, i32p, i32p]
+        lib.hnsw_search_batch.restype = ctypes.c_int
+        lib.hnsw_search_batch.argtypes = [
+            f32p, f32p, i32p, i32p, i64, i32, i32, i32, i32, i32, i32,
+            f32p, i64, i32, i32, i32, i32, i64p, f32p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ct)
+
+
+def _common_args(host):
+    """(args tuple, cap) for the shared array header."""
+    cfg = host.cfg
+    nb = host.neighbors
+    assert nb.flags["C_CONTIGUOUS"]
+    cap = nb.shape[1]
+    store = host.store
+    return (
+        _ptr(store.vectors[:cap], ctypes.POINTER(ctypes.c_float)),
+        _ptr(store.sq_norms[:cap], ctypes.POINTER(ctypes.c_float)),
+        _ptr(nb, ctypes.POINTER(ctypes.c_int32)),
+        _ptr(host.levels, ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(cap),
+        ctypes.c_int32(store.dim),
+        ctypes.c_int32(nb.shape[0]),
+        ctypes.c_int32(nb.shape[2]),
+        ctypes.c_int32(cfg.m),
+        ctypes.c_int32(cfg.m_base),
+    ), cap
+
+
+def insert_batch(host, slots: np.ndarray, slot_levels: np.ndarray) -> bool:
+    """Native sequential insert on the host graph arrays. Caller must
+    have ensured capacity for max(slot_levels) layers and all slots, and
+    stored the vectors. Updates host.entry/top/count."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    # vectors/levels arrays must cover cap rows
+    host.store.ensure_capacity(host.neighbors.shape[1])
+    common, cap = _common_args(host)
+    slots = np.ascontiguousarray(slots, np.int64)
+    lv = np.ascontiguousarray(slot_levels, np.int32)
+    entry = ctypes.c_int32(host.entry)
+    top = ctypes.c_int32(host.top)
+    rc = lib.hnsw_insert_batch(
+        *common, ctypes.c_int32(host.cfg.ef_construction),
+        ctypes.c_int32(_METRIC_CODE[host.metric]),
+        ctypes.c_int32(1 if host.cfg.diversify else 0),
+        _ptr(slots, ctypes.POINTER(ctypes.c_int64)),
+        _ptr(lv, ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(slots)),
+        ctypes.byref(entry), ctypes.byref(top))
+    if rc != 0:
+        return False
+    host.entry = int(entry.value)
+    host.top = int(top.value)
+    host.count += len(slots)
+    return True
+
+
+def delete_batch(host, slots: np.ndarray) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    host.store.ensure_capacity(host.neighbors.shape[1])
+    common, cap = _common_args(host)
+    slots = np.ascontiguousarray(slots, np.int64)
+    entry = ctypes.c_int32(host.entry)
+    top = ctypes.c_int32(host.top)
+    lib.hnsw_delete_batch(
+        *common, ctypes.c_int32(host.cfg.ef_construction),
+        ctypes.c_int32(_METRIC_CODE[host.metric]),
+        ctypes.c_int32(1 if host.cfg.diversify else 0),
+        _ptr(slots, ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(slots)),
+        ctypes.byref(entry), ctypes.byref(top))
+    host.entry = int(entry.value)
+    host.top = int(top.value)
+    host.count -= len(slots)
+    return True
+
+
+def search_batch(host, queries: np.ndarray, k: int, ef: int):
+    """Native CPU batch search -> (dists [Q,k], slot ids [Q,k])."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    host.store.ensure_capacity(host.neighbors.shape[1])
+    common, cap = _common_args(host)
+    queries = np.ascontiguousarray(queries, np.float32)
+    n_q = queries.shape[0]
+    out_ids = np.empty((n_q, k), np.int64)
+    out_d = np.empty((n_q, k), np.float32)
+    lib.hnsw_search_batch(
+        *common[:10],
+        ctypes.c_int32(_METRIC_CODE[host.metric]),
+        _ptr(queries, ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n_q), ctypes.c_int32(k), ctypes.c_int32(ef),
+        ctypes.c_int32(host.entry), ctypes.c_int32(host.top),
+        _ptr(out_ids, ctypes.POINTER(ctypes.c_int64)),
+        _ptr(out_d, ctypes.POINTER(ctypes.c_float)))
+    return out_d, out_ids

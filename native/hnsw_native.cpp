@@ -1,0 +1,418 @@
+// hnsw_native — C++ host-side graph engine for hnsw_tpu.
+//
+// Operates IN PLACE on the exact padded numpy arrays the Python side
+// owns (core/state.py layout): neighbors [L, cap, W] int32 (-1 padded),
+// levels [cap] int32 (-1 = absent), vectors [cap, D] float32, sq_norms
+// [cap] float32. This is the native replacement for the pure-Python
+// sequential path (core/host_build.py): incremental inserts, deletes
+// with in-edge sweep + replenish, and batched CPU search. Semantics
+// match the TPU bulk builder: classic pool-ef beam search, diversity
+// -heuristic edge selection with pruned backfill, per-layer degree caps
+// (m0 on layer 0). Reference behaviors it reproduces: geometric level
+// cap (graph.go:370-385 — levels are sampled Python-side and passed
+// in), worst-eviction reverse edges (graph.go:41-81), neighbor repair
+// on delete (graph.go:172-235).
+//
+// Exposed as a plain C ABI for ctypes. No Python.h dependency.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <utility>
+#include <vector>
+
+namespace {
+
+enum Metric { COSINE = 0, L2 = 1, SQEUCLIDEAN = 2, DOT = 3 };
+
+struct Ctx {
+  float* vectors;
+  float* sq_norms;
+  int32_t* neighbors;  // [L, cap, W]
+  int32_t* levels;     // [cap]
+  int64_t cap;
+  int32_t D, L, W, m, m0, ef_c, metric, diversify;
+  // visited stamps (epoch-based, no per-call clears)
+  std::vector<uint32_t> stamp;
+  uint32_t epoch = 0;
+
+  inline int32_t* row(int layer, int64_t slot) {
+    return neighbors + ((int64_t)layer * cap + slot) * W;
+  }
+  inline const float* vec(int64_t slot) const {
+    return vectors + slot * D;
+  }
+  inline int deg_cap(int layer) const { return layer == 0 ? m0 : m; }
+
+  inline float dist(int64_t a, int64_t b) const {
+    const float* va = vec(a);
+    const float* vb = vec(b);
+    float dot = 0.f;
+    for (int i = 0; i < D; ++i) dot += va[i] * vb[i];
+    return finish(dot, sq_norms[a], sq_norms[b]);
+  }
+  inline float dist_q(const float* q, float q_sq, int64_t b) const {
+    const float* vb = vec(b);
+    float dot = 0.f;
+    for (int i = 0; i < D; ++i) dot += q[i] * vb[i];
+    return finish(dot, q_sq, sq_norms[b]);
+  }
+  inline float finish(float dot, float sqa, float sqb) const {
+    switch (metric) {
+      case COSINE:
+        return 1.f - dot / std::sqrt(sqa * sqb + 1e-30f);
+      case L2:
+        return std::sqrt(std::max(sqa + sqb - 2.f * dot, 0.f));
+      case SQEUCLIDEAN:
+        return std::max(sqa + sqb - 2.f * dot, 0.f);
+      default:
+        return -dot;
+    }
+  }
+
+  void ensure_stamp() {
+    if ((int64_t)stamp.size() < cap) stamp.assign(cap, 0);
+    if (++epoch == 0) {  // wrapped: reset
+      std::fill(stamp.begin(), stamp.end(), 0);
+      epoch = 1;
+    }
+  }
+};
+
+using DS = std::pair<float, int64_t>;  // (dist, slot)
+
+// Classic searchLayer: pool of ef, expand best-first while it beats the
+// worst pool entry. Returns ascending by distance, up to ef entries.
+void search_layer(Ctx& c, int layer, const float* q, float q_sq,
+                  int64_t start, int ef, std::vector<DS>& out) {
+  c.ensure_stamp();
+  const uint32_t ep = c.epoch;
+  std::priority_queue<DS, std::vector<DS>, std::greater<DS>> cand;  // min
+  std::priority_queue<DS> pool;                                     // max
+  float d0 = c.dist_q(q, q_sq, start);
+  cand.push({d0, start});
+  pool.push({d0, start});
+  c.stamp[start] = ep;
+  while (!cand.empty()) {
+    auto [d_cur, cur] = cand.top();
+    cand.pop();
+    if (d_cur > pool.top().first && (int)pool.size() >= ef) break;
+    const int32_t* r = c.row(layer, cur);
+    for (int i = 0; i < c.W; ++i) {
+      int32_t nb = r[i];
+      if (nb < 0) continue;
+      if (c.stamp[nb] == ep) continue;
+      c.stamp[nb] = ep;
+      if (c.levels[nb] < 0) continue;  // tombstone
+      float d = c.dist_q(q, q_sq, nb);
+      if ((int)pool.size() < ef || d < pool.top().first) {
+        pool.push({d, nb});
+        if ((int)pool.size() > ef) pool.pop();
+        cand.push({d, nb});
+      }
+    }
+  }
+  out.clear();
+  out.resize(pool.size());
+  for (int i = (int)pool.size() - 1; !pool.empty(); --i) {
+    out[i] = pool.top();
+    pool.pop();
+  }
+}
+
+// Greedy descent step on upper layers (ef=1).
+int64_t greedy_layer(Ctx& c, int layer, const float* q, float q_sq,
+                     int64_t start) {
+  int64_t cur = start;
+  float best = c.dist_q(q, q_sq, cur);
+  bool improved = true;
+  while (improved) {
+    improved = false;
+    const int32_t* r = c.row(layer, cur);
+    for (int i = 0; i < c.W; ++i) {
+      int32_t nb = r[i];
+      if (nb < 0 || c.levels[nb] < 0) continue;
+      float d = c.dist_q(q, q_sq, nb);
+      if (d < best) {
+        best = d;
+        cur = nb;
+        improved = true;
+      }
+    }
+  }
+  return cur;
+}
+
+// Diversity heuristic (Malkov Alg.4 + pruned backfill) over candidates
+// sorted ascending; writes up to deg winners into row (padded -1).
+void select_diverse(Ctx& c, int64_t anchor, std::vector<DS>& cands,
+                    int deg, int32_t* out_row) {
+  std::sort(cands.begin(), cands.end());
+  // dedup
+  std::vector<DS> uniq;
+  uniq.reserve(cands.size());
+  for (auto& p : cands) {
+    bool dup = false;
+    for (auto& u : uniq)
+      if (u.second == p.second) { dup = true; break; }
+    if (!dup && p.second != anchor) uniq.push_back(p);
+  }
+  std::vector<int64_t> sel;
+  std::vector<int64_t> pruned;
+  sel.reserve(deg);
+  if (c.diversify) {
+    for (auto& [d, s] : uniq) {
+      if ((int)sel.size() >= deg) break;
+      bool ok = true;
+      for (int64_t t : sel) {
+        if (c.dist(s, t) < d) { ok = false; break; }
+      }
+      if (ok)
+        sel.push_back(s);
+      else
+        pruned.push_back(s);
+    }
+    for (int64_t s : pruned) {
+      if ((int)sel.size() >= deg) break;
+      sel.push_back(s);
+    }
+  } else {
+    for (auto& [d, s] : uniq) {
+      if ((int)sel.size() >= deg) break;
+      sel.push_back(s);
+    }
+  }
+  int i = 0;
+  for (; i < (int)sel.size() && i < c.W; ++i) out_row[i] = (int32_t)sel[i];
+  for (; i < c.W; ++i) out_row[i] = -1;
+}
+
+// Reverse edge: add src into tgt's row; on overflow re-select with the
+// heuristic over existing + src (graph.go:41-81's eviction, upgraded).
+void reverse_insert(Ctx& c, int layer, int64_t tgt, int64_t src) {
+  int deg = c.deg_cap(layer);
+  int32_t* r = c.row(layer, tgt);
+  int n = 0;
+  for (int i = 0; i < c.W; ++i) {
+    if (r[i] == (int32_t)src) return;
+    if (r[i] >= 0) n++;
+  }
+  if (n < deg) {
+    for (int i = 0; i < c.W; ++i)
+      if (r[i] < 0) { r[i] = (int32_t)src; return; }
+  }
+  std::vector<DS> cands;
+  cands.reserve(n + 1);
+  for (int i = 0; i < c.W; ++i)
+    if (r[i] >= 0) cands.push_back({c.dist(tgt, r[i]), r[i]});
+  cands.push_back({c.dist(tgt, src), src});
+  select_diverse(c, tgt, cands, deg, r);
+}
+
+// Refill a row from neighbors-of-neighbors (graph.go:172-219).
+void replenish(Ctx& c, int layer, int64_t slot) {
+  int deg = c.deg_cap(layer);
+  int32_t* r = c.row(layer, slot);
+  int n = 0;
+  for (int i = 0; i < c.W; ++i)
+    if (r[i] >= 0) n++;
+  if (n >= deg) return;
+  c.ensure_stamp();
+  const uint32_t ep = c.epoch;
+  c.stamp[slot] = ep;
+  for (int i = 0; i < c.W; ++i)
+    if (r[i] >= 0) c.stamp[r[i]] = ep;
+  std::vector<DS> cands;
+  for (int i = 0; i < c.W; ++i) {
+    if (r[i] < 0) continue;
+    const int32_t* r2 = c.row(layer, r[i]);
+    for (int j = 0; j < c.W; ++j) {
+      int32_t nb = r2[j];
+      if (nb < 0 || c.stamp[nb] == ep || c.levels[nb] < 0) continue;
+      c.stamp[nb] = ep;
+      cands.push_back({c.dist(slot, nb), nb});
+    }
+  }
+  std::sort(cands.begin(), cands.end());
+  for (auto& [d, s] : cands) {
+    if (n >= deg) break;
+    for (int i = 0; i < c.W; ++i)
+      if (r[i] < 0) {
+        r[i] = (int32_t)s;
+        n++;
+        break;
+      }
+  }
+}
+
+Ctx make_ctx(float* vectors, float* sq_norms, int32_t* neighbors,
+             int32_t* levels, int64_t cap, int32_t D, int32_t L,
+             int32_t W, int32_t m, int32_t m0, int32_t ef_c,
+             int32_t metric, int32_t diversify) {
+  Ctx c;
+  c.vectors = vectors;
+  c.sq_norms = sq_norms;
+  c.neighbors = neighbors;
+  c.levels = levels;
+  c.cap = cap;
+  c.D = D;
+  c.L = L;
+  c.W = W;
+  c.m = m;
+  c.m0 = m0;
+  c.ef_c = ef_c;
+  c.metric = metric;
+  c.diversify = diversify;
+  return c;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sequential insert of n_slots new nodes (levels pre-sampled).
+// entry_io/top_io: in-out scalars. Returns 0 on success.
+int hnsw_insert_batch(float* vectors, float* sq_norms, int32_t* neighbors,
+                      int32_t* levels, int64_t cap, int32_t D, int32_t L,
+                      int32_t W, int32_t m, int32_t m0, int32_t ef_c,
+                      int32_t metric, int32_t diversify,
+                      const int64_t* slots, const int32_t* slot_levels,
+                      int64_t n_slots, int32_t* entry_io,
+                      int32_t* top_io) {
+  Ctx c = make_ctx(vectors, sq_norms, neighbors, levels, cap, D, L, W, m,
+                   m0, ef_c, metric, diversify);
+  int32_t entry = *entry_io, top = *top_io;
+  std::vector<DS> found;
+  for (int64_t i = 0; i < n_slots; ++i) {
+    int64_t slot = slots[i];
+    int lvl = slot_levels[i];
+    if (lvl >= L) return -1;
+    if (entry < 0) {
+      levels[slot] = lvl;
+      entry = (int32_t)slot;
+      top = lvl;
+      continue;
+    }
+    const float* q = c.vec(slot);
+    float q_sq = sq_norms[slot];
+    int64_t cur = entry;
+    for (int layer = top; layer > lvl; --layer)
+      cur = greedy_layer(c, layer, q, q_sq, cur);
+    for (int layer = std::min(top, lvl); layer >= 0; --layer) {
+      search_layer(c, layer, q, q_sq, cur, ef_c, found);
+      if (!found.empty()) cur = found[0].second;
+      int deg = c.deg_cap(layer);
+      select_diverse(c, slot, found, deg, c.row(layer, slot));
+      const int32_t* r = c.row(layer, slot);
+      for (int e = 0; e < c.W; ++e)
+        if (r[e] >= 0) reverse_insert(c, layer, r[e], slot);
+    }
+    levels[slot] = lvl;
+    if (lvl > top) {
+      top = lvl;
+      entry = (int32_t)slot;
+    }
+  }
+  *entry_io = entry;
+  *top_io = top;
+  return 0;
+}
+
+// Batch delete with one in-edge sweep per layer + replenish of the
+// affected rows. deleted levels must still be set on entry; they are
+// cleared here. Returns number of repaired rows.
+int64_t hnsw_delete_batch(float* vectors, float* sq_norms,
+                          int32_t* neighbors, int32_t* levels, int64_t cap,
+                          int32_t D, int32_t L, int32_t W, int32_t m,
+                          int32_t m0, int32_t ef_c, int32_t metric,
+                          int32_t diversify, const int64_t* slots,
+                          int64_t n_slots, int32_t* entry_io,
+                          int32_t* top_io) {
+  Ctx c = make_ctx(vectors, sq_norms, neighbors, levels, cap, D, L, W, m,
+                   m0, ef_c, metric, diversify);
+  std::vector<char> dead(cap, 0);
+  int max_lvl = 0;
+  for (int64_t i = 0; i < n_slots; ++i) {
+    dead[slots[i]] = 1;
+    max_lvl = std::max(max_lvl, (int)levels[slots[i]]);
+  }
+  int64_t repaired = 0;
+  for (int layer = 0; layer <= std::min(max_lvl, L - 1); ++layer) {
+    std::vector<int64_t> affected;
+    for (int64_t s = 0; s < cap; ++s) {
+      if (levels[s] < layer || dead[s]) continue;
+      int32_t* r = c.row(layer, s);
+      bool hit = false;
+      for (int i = 0; i < W; ++i)
+        if (r[i] >= 0 && dead[r[i]]) {
+          r[i] = -1;
+          hit = true;
+        }
+      if (hit) affected.push_back(s);
+    }
+    for (int64_t i = 0; i < n_slots; ++i)
+      if (levels[slots[i]] >= layer)
+        std::memset(c.row(layer, slots[i]), 0xFF, W * sizeof(int32_t));
+    for (int64_t s : affected) {
+      replenish(c, layer, s);
+      repaired++;
+    }
+  }
+  for (int64_t i = 0; i < n_slots; ++i) levels[slots[i]] = -1;
+  // refresh entry/top if needed
+  int32_t entry = *entry_io, top = *top_io;
+  if (entry >= 0 && levels[entry] < 0) {
+    top = -1;
+    entry = -1;
+    for (int64_t s = 0; s < cap; ++s)
+      if (levels[s] > top) {
+        top = levels[s];
+        entry = (int32_t)s;
+      }
+  }
+  *entry_io = entry;
+  *top_io = top;
+  return repaired;
+}
+
+// Batched CPU search (the host serving path / oracle).
+int hnsw_search_batch(float* vectors, float* sq_norms, int32_t* neighbors,
+                      int32_t* levels, int64_t cap, int32_t D, int32_t L,
+                      int32_t W, int32_t m, int32_t m0, int32_t metric,
+                      const float* queries, int64_t n_q, int32_t k,
+                      int32_t ef, int32_t entry, int32_t top,
+                      int64_t* out_ids, float* out_dists) {
+  Ctx c = make_ctx(vectors, sq_norms, neighbors, levels, cap, D, L, W, m,
+                   m0, ef, metric, 0);
+  if (entry < 0) {
+    for (int64_t i = 0; i < n_q * k; ++i) {
+      out_ids[i] = -1;
+      out_dists[i] = INFINITY;
+    }
+    return 0;
+  }
+  std::vector<DS> found;
+  for (int64_t qi = 0; qi < n_q; ++qi) {
+    const float* q = queries + qi * D;
+    float q_sq = 0.f;
+    for (int i = 0; i < D; ++i) q_sq += q[i] * q[i];
+    int64_t cur = entry;
+    for (int layer = top; layer > 0; --layer)
+      cur = greedy_layer(c, layer, q, q_sq, cur);
+    search_layer(c, 0, q, q_sq, cur, std::max(ef, k), found);
+    for (int i = 0; i < k; ++i) {
+      if (i < (int)found.size()) {
+        out_ids[qi * k + i] = found[i].second;
+        out_dists[qi * k + i] = found[i].first;
+      } else {
+        out_ids[qi * k + i] = -1;
+        out_dists[qi * k + i] = INFINITY;
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
