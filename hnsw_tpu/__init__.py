@@ -38,6 +38,7 @@ from hnsw_tpu.index.adaptive import AdaptiveHybridIndex, AdaptiveSelector
 from hnsw_tpu.index.exact import ExactIndex
 from hnsw_tpu.index.hnsw import Graph
 from hnsw_tpu.index.hybrid import HybridIndex, IndexStats
+from hnsw_tpu.index.ivf import IVFIndex
 from hnsw_tpu.index.lsh import LSHIndex
 from hnsw_tpu.index.partitioner import Partitioner
 from hnsw_tpu.io.appender import AppenderConfig, ArrowAppender

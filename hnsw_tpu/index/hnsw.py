@@ -306,6 +306,15 @@ class Graph:
                                                   negs, k, neg_weight))
         return out
 
+    def parallel_search(self, query, k: int, num_workers: int = 0,
+                        ef: Optional[int] = None
+                        ) -> List[Tuple[Any, float]]:
+        """API parity with graph.go:631 ParallelSearch. On TPU the
+        batched lockstep search IS the parallel path (SURVEY.md §2.7);
+        ``num_workers`` is accepted and ignored."""
+        del num_workers
+        return self.search(query, k, ef)
+
     # -- misc ----------------------------------------------------------------------
     def keys(self) -> List[Any]:
         return list(self.slots.key_to_slot.keys())

@@ -1,0 +1,262 @@
+"""IVF (inverted-file) index — the TPU-native large-N strategy.
+
+The reference routes candidates through LSH buckets and k-means
+partitions (hybrid/partitioner.go, hybrid/lsh.go) but still scores one
+query at a time. This index is the same idea rebuilt for the MXU:
+
+  * k-means centroids trained on device (chunked distance matmuls +
+    segment-sum updates);
+  * vectors laid out PARTITION-MAJOR in a padded [P, cap_p, D] block
+    array — per-partition scans are contiguous, no row gathers;
+  * a query batch probes its top-nprobe partitions: queries are grouped
+    by partition on host, then ONE batched einsum scores every
+    (partition, its-queries, its-vectors) block, and per-query top-k
+    merges the probed partitions' candidates.
+
+Work scales with nprobe/P of the exact scan while staying 100% matmul.
+This is the sweet spot between the exact tier (N <= ~100k: just scan)
+and sharded multi-chip serving (parallel/sharded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Hashable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.config import canonical_metric
+from hnsw_tpu.core.state import bucket_pow2
+from hnsw_tpu.ops.distance import INF_DIST, pairwise_dist
+from hnsw_tpu.ops.topk import merge_topk, topk_smallest
+from hnsw_tpu.utils.keystore import SlotMap
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def _scan_blocks(queries, q_rows, blocks, block_sq, block_valid,
+                 metric: str, k: int):
+    """Score grouped queries against their partition blocks.
+
+    queries:    [Q, D]
+    q_rows:     [P, Qp] int32 query indices probing partition p (-1 pad)
+    blocks:     [P, C, D]; block_sq [P, C]; block_valid [P, C]
+    returns (dists [P, Qp, k], cols [P, Qp, k])
+    """
+    safe = jnp.clip(q_rows, 0, queries.shape[0] - 1)
+    qg = queries[safe]                                   # [P, Qp, D]
+    gram = jnp.einsum("pqd,pcd->pqc", qg, blocks,
+                      preferred_element_type=jnp.float32)
+    q_sq = jnp.sum(queries * queries, axis=-1)[safe]     # [P, Qp]
+    if metric == "cosine":
+        d = 1.0 - gram * jax.lax.rsqrt(
+            q_sq[:, :, None] * block_sq[:, None, :] + 1e-30)
+    elif metric == "dot":
+        d = -gram
+    else:
+        d = jnp.maximum(q_sq[:, :, None] + block_sq[:, None, :]
+                        - 2.0 * gram, 0.0)
+        if metric == "l2":
+            d = jnp.sqrt(d)
+    d = jnp.where(block_valid[:, None, :], d, INF_DIST)
+    d = jnp.where((q_rows >= 0)[:, :, None], d, INF_DIST)
+    dk, ck = topk_smallest(d, min(k, d.shape[-1]))
+    return dk, ck
+
+
+class IVFIndex:
+    """Partition-scanned ANN index (all-matmul)."""
+
+    def __init__(self, num_partitions: int = 64, nprobe: int = 8,
+                 metric: str = "cosine", seed: int = 42,
+                 kmeans_iters: int = 10):
+        if nprobe > num_partitions:
+            raise ValueError("nprobe must be <= num_partitions")
+        self.P = num_partitions
+        self.nprobe = nprobe
+        self.metric = canonical_metric(metric)
+        self.seed = seed
+        self.kmeans_iters = kmeans_iters
+        self.slots = SlotMap()
+        self.centroids: Optional[np.ndarray] = None
+        # partition-major storage (host authoritative, device mirror)
+        self._members: List[List[int]] = [[] for _ in range(self.P)]
+        self._vecs: dict = {}
+        self._dirty = True
+        self._dev = None
+
+    def __len__(self) -> int:
+        return len(self.slots)
+
+    # -- training -------------------------------------------------------------
+    def _train(self, vectors: np.ndarray) -> np.ndarray:
+        """Device k-means (Lloyd's): chunked assign matmuls + counts."""
+        rng = np.random.default_rng(self.seed)
+        n = vectors.shape[0]
+        init = rng.choice(n, size=min(self.P, n), replace=False)
+        cents = vectors[init].copy()
+        if len(cents) < self.P:  # fewer points than partitions
+            extra = rng.standard_normal(
+                (self.P - len(cents), vectors.shape[1])).astype(np.float32)
+            cents = np.concatenate([cents, extra])
+        v_dev = jnp.asarray(vectors)
+        for _ in range(self.kmeans_iters):
+            d = np.asarray(pairwise_dist(v_dev, jnp.asarray(cents),
+                                         metric=self.metric))
+            assign = d.argmin(axis=1)
+            sums = np.zeros((self.P, vectors.shape[1]), np.float64)
+            np.add.at(sums, assign, vectors)
+            counts = np.bincount(assign, minlength=self.P)
+            nonzero = counts > 0
+            cents[nonzero] = (sums[nonzero] /
+                              counts[nonzero, None]).astype(np.float32)
+        return cents
+
+    # -- mutation ----------------------------------------------------------------
+    def build(self, keys: Sequence[Hashable], vectors) -> None:
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        if len(set(keys)) != len(keys):
+            raise ValueError("duplicate keys in build batch")
+        self.centroids = self._train(vectors)
+        d = np.asarray(pairwise_dist(jnp.asarray(vectors),
+                                     jnp.asarray(self.centroids),
+                                     metric=self.metric))
+        assign = d.argmin(axis=1)
+        for k_, v, p in zip(keys, vectors, assign):
+            if k_ in self.slots:
+                self.delete(k_)
+            slot, _ = self.slots.assign(k_)
+            self._vecs[slot] = v
+            self._members[int(p)].append(slot)
+        self._dirty = True
+
+    def add(self, key: Hashable, vector) -> None:
+        self.batch_add([key], np.asarray(vector, np.float32)[None])
+
+    def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        if self.centroids is None:
+            self.build(keys, vectors)
+            return
+        d = np.asarray(pairwise_dist(jnp.asarray(vectors),
+                                     jnp.asarray(self.centroids),
+                                     metric=self.metric))
+        assign = d.argmin(axis=1)
+        for k_, v, p in zip(keys, vectors, assign):
+            if k_ in self.slots:
+                self.delete(k_)
+            slot, _ = self.slots.assign(k_)
+            self._vecs[slot] = v
+            self._members[int(p)].append(slot)
+        self._dirty = True
+
+    def delete(self, key: Hashable) -> bool:
+        slot = self.slots.slot_of(key)
+        if slot is None:
+            return False
+        self.slots.release(key)
+        self._vecs.pop(slot, None)
+        for m in self._members:
+            if slot in m:
+                m.remove(slot)
+                break
+        self._dirty = True
+        return True
+
+    def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
+        return [self.delete(k) for k in keys]
+
+    # -- device layout --------------------------------------------------------------
+    def _sync(self):
+        if not self._dirty and self._dev is not None:
+            return self._dev
+        dim = next(iter(self._vecs.values())).shape[0] if self._vecs else 1
+        cap_p = bucket_pow2(max(max((len(m) for m in self._members),
+                                    default=1), 1), 8)
+        blocks = np.zeros((self.P, cap_p, dim), np.float32)
+        block_sq = np.zeros((self.P, cap_p), np.float32)
+        block_valid = np.zeros((self.P, cap_p), bool)
+        block_slot = np.full((self.P, cap_p), -1, np.int64)
+        for p, mem in enumerate(self._members):
+            for i, slot in enumerate(mem):
+                v = self._vecs[slot]
+                blocks[p, i] = v
+                block_sq[p, i] = float(np.dot(v, v))
+                block_valid[p, i] = True
+                block_slot[p, i] = slot
+        self._dev = (jnp.asarray(blocks), jnp.asarray(block_sq),
+                     jnp.asarray(block_valid), block_slot,
+                     jnp.asarray(self.centroids))
+        self._dirty = False
+        return self._dev
+
+    # -- search ----------------------------------------------------------------------
+    def batch_search(self, queries, k: int
+                     ) -> Tuple[List[List[Any]], np.ndarray]:
+        if k <= 0:
+            raise ValueError(f"k must be greater than 0, got {k}")
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        Q = queries.shape[0]
+        if len(self.slots) == 0:
+            return ([[None] * k for _ in range(Q)],
+                    np.full((Q, k), INF_DIST, np.float32))
+        blocks, block_sq, block_valid, block_slot, cents = self._sync()
+
+        # 1. probe assignment (one [Q, P] matmul)
+        cd = np.asarray(pairwise_dist(jnp.asarray(queries), cents,
+                                      metric=self.metric))
+        probe = np.argpartition(cd, min(self.nprobe, self.P) - 1,
+                                axis=1)[:, :self.nprobe]      # [Q, nprobe]
+
+        # 2. group queries by partition (host)
+        per_part: List[List[int]] = [[] for _ in range(self.P)]
+        probe_pos = np.zeros((Q, self.nprobe, 2), np.int64)
+        for qi in range(Q):
+            for j, p in enumerate(probe[qi]):
+                p = int(p)
+                probe_pos[qi, j] = (p, len(per_part[p]))
+                per_part[p].append(qi)
+        qp_max = bucket_pow2(max(max((len(x) for x in per_part),
+                                     default=1), 1), 8)
+        q_rows = np.full((self.P, qp_max), -1, np.int32)
+        for p, lst in enumerate(per_part):
+            q_rows[p, :len(lst)] = lst
+
+        # 3. one batched scan of all probed blocks
+        dk, ck = _scan_blocks(jnp.asarray(queries), jnp.asarray(q_rows),
+                              blocks, block_sq, block_valid,
+                              self.metric, k)
+        dk = np.asarray(dk)                                  # [P, Qp, k]
+        ck = np.asarray(ck)
+
+        # 4. per-query merge of its nprobe result rows
+        pp = probe_pos[:, :, 0]
+        rr = probe_pos[:, :, 1]
+        d_all = dk[pp, rr].reshape(Q, -1)                    # [Q, nprobe*k]
+        c_all = ck[pp, rr].reshape(Q, -1)
+        s_all = block_slot[np.repeat(pp, min(k, ck.shape[-1]),
+                                     axis=1).reshape(Q, -1), c_all]
+        order = np.argsort(d_all, axis=1, kind="stable")[:, :k]
+        dd = np.take_along_axis(d_all, order, axis=1)
+        ss = np.take_along_axis(s_all, order, axis=1)
+        ss = np.where(dd < INF_DIST / 2, ss, -1)
+        keys = [self.slots.keys_for(row) for row in ss]
+        if dd.shape[1] < k:
+            pad = k - dd.shape[1]
+            dd = np.pad(dd, ((0, 0), (0, pad)), constant_values=INF_DIST)
+            for row in keys:
+                row.extend([None] * pad)
+        return keys, dd.astype(np.float32)
+
+    def search(self, query, k: int) -> List[Tuple[Any, float]]:
+        keys, dists = self.batch_search(
+            np.asarray(query, np.float32)[None], k)
+        return [(kk, float(dd)) for kk, dd in zip(keys[0], dists[0])
+                if kk is not None]
+
+    def stats(self) -> dict:
+        sizes = [len(m) for m in self._members]
+        return {"num_partitions": self.P, "nprobe": self.nprobe,
+                "sizes_max": max(sizes), "sizes_min": min(sizes),
+                "total": sum(sizes)}
