@@ -1,0 +1,200 @@
+"""Benchmark sweep over the BASELINE.json configs.
+
+Emits one JSON line per measurement to stdout (and optionally a file).
+Covers:
+  1. cosine HNSW build+search, 10k x 128 random f32 (recall@10 vs QPS
+     over an ef sweep) — graph / exact / IVF strategies
+  2. l2 + dot metrics on normalized 10k x 100 ("GloVe-100 angular"
+     proxy: the real datasets are not fetchable in this zero-egress
+     environment; synthetic angular data stands in, same shapes)
+  3. bulk batched insert + batch delete with neighbor repair
+  4. hybrid adaptive dispatch behavior
+  5. faceted + negative-example query overhead
+
+Usage:
+  python benchmarks/sweep.py            # full sizes (TPU)
+  python benchmarks/sweep.py --small    # reduced sizes (CPU/CI)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def emit(rec):
+    print(json.dumps(rec), flush=True)
+
+
+def recall_of(ids, gt, k):
+    hits = sum(len({int(x) for x in ids[i][:k] if x is not None and
+                    (not hasattr(x, "item") or x >= 0)} &
+                   set(map(int, gt[i][:k]))) for i in range(len(gt)))
+    return hits / (len(gt) * k)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu or args.small:
+        # the container sitecustomize force-registers the TPU backend;
+        # small runs must NOT contend with TPU jobs
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from hnsw_tpu.utils.warmup import warmup_transfers
+    warmup_transfers()
+    import jax
+    import jax.numpy as jnp
+
+    from hnsw_tpu import (AdaptiveHybridIndex, EqualityFilter, Facet,
+                          FacetedGraph, Graph, HybridConfig, IVFIndex)
+    from hnsw_tpu.ops.topk import exact_topk, np_exact_topk
+    from hnsw_tpu.core.search import search_graph
+
+    platform = jax.devices()[0].platform
+    n = 800 if args.small else 10_000
+    d, k = (32 if args.small else 128), 10
+    n_q = 64 if args.small else 1024
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((n_q, d)).astype(np.float32)
+    _, gt = np_exact_topk(queries, data, k, "cosine")
+
+    # ---- config 1: cosine build + search sweep -------------------------
+    g = Graph(m=16, metric="cosine", seed=0)
+    t0 = time.perf_counter()
+    g.build(list(range(n)), data, wave=1024)
+    emit({"config": "cosine_10kx128", "metric": "bulk_build_seconds",
+          "n": n, "value": round(time.perf_counter() - t0, 1),
+          "platform": platform})
+    g.fast_math = True
+    dev = g.device_graph()
+    qd = jnp.asarray(queries)
+
+    for ef, E in ((64, 8), (128, 8), (192, 8)):
+        f = lambda: search_graph(dev, qd, k=k, ef=ef, metric="cosine",
+                                 max_hops=max(32, 2 * ef // E),
+                                 fast_math=True, expand=E)
+        r = f(); r[0].block_until_ready()
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            r = f()
+        r[0].block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        ids = np.asarray(r[1])
+        emit({"config": "cosine_10kx128", "strategy": "hnsw", "ef": ef,
+              "qps": round(n_q / dt, 0),
+              "recall@10": round(recall_of(ids, gt, k), 4),
+              "platform": platform})
+
+    sq = dev.sq_norms
+    f = lambda: exact_topk(qd, dev.vectors, sq, dev.alive, k=k,
+                           metric="cosine")
+    r = f(); r[0].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        r = f()
+    r[0].block_until_ready()
+    dt = (time.perf_counter() - t0) / 3
+    emit({"config": "cosine_10kx128", "strategy": "exact",
+          "qps": round(n_q / dt, 0),
+          "recall@10": round(recall_of(np.asarray(r[1]), gt, k), 4),
+          "platform": platform})
+
+    ivf = IVFIndex(num_partitions=32, nprobe=8, kmeans_iters=5)
+    ivf.build(list(range(n)), data)
+    ivf.batch_search(queries, k)  # warm
+    t0 = time.perf_counter()
+    keys, _ = ivf.batch_search(queries, k)
+    dt = time.perf_counter() - t0
+    emit({"config": "cosine_10kx128", "strategy": "ivf_p32_probe8",
+          "qps": round(n_q / dt, 0),
+          "recall@10": round(recall_of(keys, gt, k), 4),
+          "platform": platform})
+
+    # ---- config 2: l2 + dot on angular 100-d ---------------------------
+    d2n = 32 if args.small else 100
+    ang = rng.standard_normal((n, d2n)).astype(np.float32)
+    ang /= np.linalg.norm(ang, axis=1, keepdims=True)
+    q2 = rng.standard_normal((n_q, d2n)).astype(np.float32)
+    q2 /= np.linalg.norm(q2, axis=1, keepdims=True)
+    for metric in ("l2", "dot"):
+        _, gt2 = np_exact_topk(q2, ang, k, metric)
+        g2 = Graph(m=16, metric=metric, seed=0)
+        g2.build(list(range(n)), ang, wave=1024)
+        g2.fast_math = True
+        for ef in (20, 64, 128):
+            keys, _ = g2.batch_search(q2, k, ef=ef)  # warm+compile
+            t0 = time.perf_counter()
+            d_out, i_out = g2.batch_search_slots(q2, k, ef=ef)
+            dt = time.perf_counter() - t0
+            emit({"config": f"{metric}_angular_10kx100", "strategy": "hnsw",
+                  "ef": ef, "qps": round(n_q / dt, 0),
+                  "recall@10": round(recall_of(i_out, gt2, k), 4),
+                  "platform": platform})
+
+    # ---- config 3: batch delete with neighbor repair --------------------
+    g3 = Graph(m=16, seed=0)
+    g3.build(list(range(n)), data, wave=1024)
+    dele = list(range(0, n, 4))
+    t0 = time.perf_counter()
+    g3.batch_delete(dele)
+    emit({"config": "batch_delete", "metric": "delete_repair_seconds",
+          "n_deleted": len(dele),
+          "value": round(time.perf_counter() - t0, 2),
+          "platform": platform})
+    keys, _ = g3.batch_search(queries[:64], k, ef=96)
+    alive_gt_idx = [i for i in range(n) if i % 4 != 0]
+    _, gt3 = np_exact_topk(queries[:64], data[alive_gt_idx], k, "cosine")
+    gt3_keys = np.asarray(alive_gt_idx)[gt3]
+    emit({"config": "batch_delete", "metric": "recall_after_delete",
+          "value": round(recall_of(keys, gt3_keys, k), 4),
+          "platform": platform})
+
+    # ---- config 4: adaptive hybrid ----------------------------------------
+    a = AdaptiveHybridIndex(hybrid_config=HybridConfig(exact_threshold=500))
+    n4 = min(n, 3000)
+    a.batch_add(list(range(n4)), data[:n4])
+    lat = []
+    for q in queries[:100]:
+        t0 = time.perf_counter()
+        a.search(q, k)
+        lat.append(time.perf_counter() - t0)
+    stats = a.get_stats()
+    emit({"config": "adaptive_hybrid", "n": n4,
+          "avg_ms": round(float(np.mean(lat)) * 1000, 2),
+          "p95_ms": round(float(np.percentile(lat, 95)) * 1000, 2),
+          "strategies": {s: v["count"] for s, v in
+                         stats["strategies"].items()
+                         if isinstance(v, dict)},
+          "platform": platform})
+
+    # ---- config 5: faceted + negative overhead ------------------------------
+    fg = FacetedGraph(g)
+    for i in range(0, n, 1):
+        fg.store.add(i, [Facet("bucket", i % 5)])
+    t0 = time.perf_counter()
+    fg.batch_search(queries[:64], k, [EqualityFilter("bucket", 3)])
+    emit({"config": "faceted", "metric": "filtered_batch64_seconds",
+          "value": round(time.perf_counter() - t0, 3),
+          "platform": platform})
+    t0 = time.perf_counter()
+    g.batch_search_with_negatives(queries[:64],
+                                  [data[i:i + 1] for i in range(64)], k, 0.5)
+    emit({"config": "negative", "metric": "negative_batch64_seconds",
+          "value": round(time.perf_counter() - t0, 3),
+          "platform": platform})
+
+
+if __name__ == "__main__":
+    main()
