@@ -157,6 +157,10 @@ class AdaptiveHybridIndex:
                             num_bits=self.hcfg.num_hash_bits,
                             seed=self.hcfg.seed)
         self._dim: Optional[int] = None
+        #: strategies whose first (compile-inflated) sample was dropped.
+        #: XLA compiles on a strategy's first query; recording that
+        #: latency would permanently bias the bandit against it.
+        self._warmed: set = set()
 
     def __len__(self) -> int:
         return len(self.exact)
@@ -221,11 +225,14 @@ class AdaptiveHybridIndex:
             res = self.exact.search(query, k)
             strat = "exact"
         dt = time.perf_counter() - t0
-        self.selector.record(QueryMetrics(
-            strategy=strat, duration_s=dt, result_count=len(res),
-            success=success,
-            distance_stats=DistanceStats.from_distances(
-                [d for _, d in res])))
+        if strat in self._warmed:
+            self.selector.record(QueryMetrics(
+                strategy=strat, duration_s=dt, result_count=len(res),
+                success=success,
+                distance_stats=DistanceStats.from_distances(
+                    [d for _, d in res])))
+        else:
+            self._warmed.add(strat)
         return res
 
     def batch_search(self, queries, k: int) -> List[List[Tuple[Any, float]]]:
