@@ -106,8 +106,18 @@ class ExactIndex:
         q_pad = _bucket(nq)
         if q_pad != nq:
             queries = np.pad(queries, ((0, q_pad - nq), (0, 0)))
-        d, i = exact_topk(jnp.asarray(queries), v, sq, alive,
-                          k=k, metric=self.metric)
+        # Pallas fused kernel wins at large N on TPU (measured 1.4x at
+        # 100k x 128: the score matrix never reaches HBM); XLA HIGHEST
+        # stays the ground-truth path at small N / large k / CPU.
+        use_fused = (v.shape[0] >= 32768 and k <= 32
+                     and jax.devices()[0].platform == "tpu")
+        if use_fused:
+            from hnsw_tpu.ops.pallas_exact import exact_topk_fused
+            d, i = exact_topk_fused(jnp.asarray(queries), v, sq, alive,
+                                    k=k, metric=self.metric)
+        else:
+            d, i = exact_topk(jnp.asarray(queries), v, sq, alive,
+                              k=k, metric=self.metric)
         d = np.asarray(d[:nq])
         i = np.asarray(i[:nq], np.int64)
         return d, i

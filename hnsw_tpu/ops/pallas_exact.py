@@ -64,9 +64,11 @@ def _merge_sorted(d_a, i_a, d_b, i_b, k: int):
     for _ in range(k):
         m = jnp.min(cur, axis=1)
         am = jnp.argmin(cur, axis=1).astype(jnp.int32)
+        onehot = cols == am[:, None]
+        # one-hot select (Mosaic lowers no gathers inside kernels)
         out_d.append(m)
-        out_i.append(jnp.take_along_axis(i, am[:, None], axis=1)[:, 0])
-        cur = jnp.where(cols == am[:, None], INF_DIST, cur)
+        out_i.append(jnp.sum(jnp.where(onehot, i, 0), axis=1))
+        cur = jnp.where(onehot, INF_DIST, cur)
     return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
 
 

@@ -163,6 +163,7 @@ def test_adaptive_hybrid_end_to_end():
     assert len(a) == 300
     res = a.search(v[11], 5)
     assert res[0][0] == 11
+    a.search(v[12], 5)  # first sample per strategy is warm-up, unrecorded
     stats = a.get_stats()
     assert stats["total_queries"] >= 1
     assert a.delete(11)
