@@ -166,6 +166,9 @@ class Graph:
             nb, levels, entry, top = self.host.arrays()
             hcap = nb.shape[1]
             use = min(hcap, cap)
+            import ml_dtypes
+            sd = (ml_dtypes.bfloat16 if self.cfg.store_dtype == "bfloat16"
+                  else np.float32)
             self._dev = from_host(
                 self.store.vectors[:use] if self.store.vectors is not None
                 else np.zeros((0, 1), np.float32),
@@ -175,7 +178,7 @@ class Graph:
                 levels[:use],
                 (self.store.alive[:use] if self.store.alive is not None
                  else np.zeros((0,), bool)),
-                entry, cap_pad=cap)
+                entry, cap_pad=cap, store_dtype=sd)
             self._dirty = False
         return self._dev
 

@@ -99,3 +99,30 @@ def test_partitioned_graph_search_recall():
     hits = sum(len(set(globals_[i]) & set(map(int, gt_i[i])))
                for i in range(len(gt_i)))
     assert hits / (len(gt_i) * k) >= 0.8
+
+
+def test_partitioned_graph_class_end_to_end():
+    import numpy as np
+    from hnsw_tpu.parallel.partitioned import PartitionedGraph
+    from hnsw_tpu.ops.topk import np_exact_topk
+    from tests.conftest import make_vectors
+
+    v = make_vectors(800, 16, seed=120, kind="clustered")
+    pg = PartitionedGraph()
+    pg.build([f"k{i}" for i in range(800)], v, wave=128)
+    assert len(pg) == 800
+    s = pg.stats()
+    assert sum(s["sizes"]) == 800
+    q = make_vectors(12, 16, seed=121, kind="clustered")
+    keys, dists = pg.batch_search(q, 5, ef=60)
+    _, gt = np_exact_topk(q, v, 5, "cosine")
+    hits = sum(len({int(k[1:]) for k in keys[i] if k is not None} &
+                   set(map(int, gt[i]))) for i in range(12))
+    assert hits / 60 >= 0.85
+    # single + mutation
+    res = pg.search(v[3], 1)
+    assert res[0][0] == "k3"
+    assert pg.delete("k3")
+    assert pg.search(v[3], 1)[0][0] != "k3"
+    pg.add("new", v[3])
+    assert pg.search(v[3], 1)[0][0] == "new"
