@@ -115,6 +115,10 @@ class HybridConfig:
     num_partitions: int = 10
     partition_size: int = 10000
     seed: int = 42  # reference LSH/partitioner use fixed seed 42 (lsh.go:64)
+    #: strategy for the very-large tier: "lsh" (reference parity) or
+    #: "ivf" (TPU-native partition scans — better recall/QPS on MXU).
+    large_strategy: str = "lsh"
+    ivf_nprobe: int = 8
 
     def validate(self) -> None:
         if self.exact_threshold < 0:
@@ -125,6 +129,8 @@ class HybridConfig:
             raise ValueError("num_hash_bits must be <= 30 (int32 packing)")
         if self.num_partitions <= 0 or self.partition_size <= 0:
             raise ValueError("partition params must be > 0")
+        if self.large_strategy not in ("lsh", "ivf"):
+            raise ValueError(f"bad large_strategy {self.large_strategy}")
         canonical_metric(self.metric)
 
 

@@ -55,6 +55,13 @@ class HybridIndex:
         self.partitioner = Partitioner(self.cfg.num_partitions,
                                        metric=self.cfg.metric,
                                        seed=self.cfg.seed)
+        self.ivf = None
+        if self.cfg.large_strategy == "ivf":
+            from hnsw_tpu.index.ivf import IVFIndex
+            self.ivf = IVFIndex(num_partitions=self.cfg.num_partitions,
+                                nprobe=self.cfg.ivf_nprobe,
+                                metric=self.cfg.metric,
+                                seed=self.cfg.seed)
         self.stats = IndexStats()
 
     # -- sizing tiers ---------------------------------------------------------
@@ -87,6 +94,8 @@ class HybridIndex:
                 self.graph.build(mig_keys, mig_vecs)
                 self.lsh.batch_add(mig_keys, mig_vecs)
                 self.partitioner.batch_assign(mig_keys, mig_vecs)
+                if self.ivf is not None:
+                    self.ivf.batch_add(mig_keys, mig_vecs)
                 self.exact.batch_delete(mig_keys)
                 self.stats.exact_count = 0
             if len(keys) >= 256:
@@ -95,6 +104,8 @@ class HybridIndex:
                 self.graph.batch_add(list(keys), vectors)
             self.lsh.batch_add(keys, vectors)
             self.partitioner.batch_assign(keys, vectors)
+            if self.ivf is not None:
+                self.ivf.batch_add(keys, vectors)
         self.stats.total_vectors = new_total
         self.stats.hnsw_count = len(self.graph)
         self.stats.lsh_count = len(self.lsh)
@@ -105,6 +116,8 @@ class HybridIndex:
         ok |= self.exact.delete(key)
         ok |= self.graph.delete(key)
         ok |= self.lsh.delete(key)
+        if self.ivf is not None:
+            self.ivf.delete(key)
         self.partitioner.remove(key)
         if ok:
             self.stats.total_vectors -= 1
@@ -131,6 +144,8 @@ class HybridIndex:
         if strat == "exact":
             return self.exact.search(query, k)
         if strat == "lsh":
+            if self.ivf is not None:
+                return self.ivf.search(query, k)
             res = self.lsh.search(query, k)
             if len(res) >= k:
                 return res
@@ -146,6 +161,8 @@ class HybridIndex:
         if strat == "exact":
             return self.exact.batch_search(queries, k)
         if strat == "lsh":
+            if self.ivf is not None:
+                return self.ivf.batch_search(queries, k)
             return self.lsh.batch_search(queries, k)
         return self.graph.batch_search(queries, k)
 

@@ -187,3 +187,20 @@ def test_multi_index_adapter():
     assert isinstance(e, SearchableIndex)
     g = Graph(seed=0)
     assert isinstance(g, SearchableIndex)
+
+
+def test_hybrid_ivf_large_strategy():
+    v = make_vectors(400, 16, seed=130)
+    h = HybridIndex(config=HybridConfig(exact_threshold=50,
+                                        partition_size=30,
+                                        num_partitions=8,
+                                        large_strategy="ivf",
+                                        ivf_nprobe=8))
+    h.batch_add(list(range(400)), v)
+    assert h._lsh_tier()          # 400 >= 30*8
+    res = h.search(v[9], 5)
+    assert res[0][0] == 9
+    assert h.stats.last_strategy == "lsh"  # tier name; backed by ivf
+    assert h.ivf is not None and len(h.ivf) == 400
+    assert h.delete(9)
+    assert h.search(v[9], 1)[0][0] != 9
