@@ -120,7 +120,8 @@ class Graph:
         slot_list = np.asarray([self.slots.assign(k)[0] for k in keys],
                                np.int64)
         self.store.put_batch(slot_list, vectors)
-        build_mod.bulk_insert(self.host, slot_list, wave=wave)
+        from hnsw_tpu.core.build_device import bulk_insert_device
+        bulk_insert_device(self.host, slot_list, wave=wave)
         self._dirty = True
 
     def delete(self, key: Hashable) -> bool:
