@@ -64,6 +64,23 @@ def _row_dist_dense(vectors, sq, anchors, others, metric):
 
 @functools.partial(
     jax.jit,
+    static_argnames=("deg", "n_cand", "metric", "diversify"))
+def _assemble_refine_rows(vectors, sq, cand_d_l, cand_i_l, wslots,
+                          part_idx, *, deg, n_cand, metric, diversify):
+    """Refinement rows: snapshot candidates only, self-excluded."""
+    W = wslots.shape[0]
+    safe_p = jnp.clip(part_idx, 0, W - 1)
+    sc_i = cand_i_l[safe_p].astype(jnp.int32)
+    self_slot = wslots[safe_p][:, None]
+    sc_d = jnp.where((sc_i >= 0) & (sc_i != self_slot),
+                     cand_d_l[safe_p], INF_DIST).astype(jnp.float32)
+    rows = _diverse_select_dev(sc_i, sc_d, vectors, sq, deg=deg,
+                               metric=metric, diversify=diversify)
+    return jnp.where((part_idx >= 0)[:, None], rows, -1)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("deg", "n_cand", "intra_k", "metric", "diversify"))
 def _assemble_wave_rows(vectors, sq, cand_d_l, cand_i_l, intra_d,
                         wslots, part_idx, in_layer, *, deg, n_cand,
@@ -230,7 +247,9 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             if len(part) == 0:
                 continue
             deg = cfg.max_degree(layer)
-            Pp = bucket_pow2(len(part), 64)
+            # constant shape per (wave, deg): compile twice per wave
+            # size, not once per participant-count bucket
+            Pp = cur_wave
             part_pad = np.full(Pp, -1, np.int64)
             part_pad[:len(part)] = part
             in_layer = np.zeros(cur_wave, bool)
@@ -281,3 +300,93 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     # ---- single D2H sync ----------------------------------------------------
     host.neighbors[:] = np.asarray(nb_dev[:, :ncap])
     host.levels[:ncap] = np.asarray(levels_dev[:ncap])
+
+
+def refine_device(host: host_build.HostGraph, *, wave: int = 2048) -> None:
+    """Second-pass graph refinement.
+
+    Re-runs the construction descent for every node against the FINAL
+    graph and re-selects its edges (+ reverse edges). Wave construction
+    gives early nodes edges chosen against small snapshots; one
+    refinement pass re-chooses them with full information — the standard
+    quality-recovery step for batched builders. Device-resident; host
+    arrays synced once at the end.
+    """
+    cfg = host.cfg
+    metric = canonical_metric(host.metric)
+    store = host.store
+    alive_slots = np.flatnonzero(host.levels >= 0)
+    if len(alive_slots) == 0:
+        return
+    ncap = host.neighbors.shape[1]
+    store.ensure_capacity(ncap)
+    cap_pad = bucket_pow2(ncap)
+    L_all = host.neighbors.shape[0]
+    Wd = host.neighbors.shape[2]
+
+    def pad_rows(a, fill, shape):
+        out = np.full(shape, fill, a.dtype)
+        out[tuple(slice(0, s) for s in a.shape)] = a
+        return out
+
+    vectors_dev = jnp.asarray(pad_rows(
+        store.vectors[:ncap], 0, (cap_pad, store.dim)))
+    sq_dev = jnp.asarray(pad_rows(store.sq_norms[:ncap], 0, (cap_pad,)))
+    nb_dev = jnp.asarray(pad_rows(host.neighbors, -1,
+                                  (L_all, cap_pad, Wd)))
+    levels_dev = jnp.asarray(pad_rows(host.levels[:ncap], -1, (cap_pad,)))
+    alive_dev = levels_dev >= 0
+    n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
+
+    for w0 in range(0, len(alive_slots), wave):
+        wslots = alive_slots[w0:w0 + wave]
+        wlevels = host.levels[wslots]
+        W = len(wslots)
+        cur_wave = wave
+        wslots_pad = np.full(cur_wave, -1, np.int64)
+        wslots_pad[:W] = wslots
+        wsl_dev = jnp.asarray(np.where(wslots_pad >= 0, wslots_pad, 0)
+                              .astype(np.int32))
+        g = DeviceGraph(vectors=vectors_dev, sq_norms=sq_dev,
+                        neighbors=nb_dev, levels=levels_dev,
+                        alive=alive_dev,
+                        entry=jnp.asarray(np.int32(host.entry)))
+        wq = vectors_dev[wsl_dev]
+        cand_d, cand_i = construction_descent(
+            g, wq, ef=max(cfg.ef_construction, n_cand), m_out=n_cand,
+            metric=metric, max_hops=cfg.max_hops)
+
+        max_l = int(wlevels.max(initial=0))
+        for layer in range(0, min(max_l, L_all - 1) + 1):
+            part = np.flatnonzero(wlevels >= layer)
+            if len(part) == 0:
+                continue
+            deg = cfg.max_degree(layer)
+            part_pad = np.full(cur_wave, -1, np.int64)
+            part_pad[:len(part)] = part
+            rows = _assemble_refine_rows(
+                vectors_dev, sq_dev, cand_d[layer], cand_i[layer],
+                wsl_dev, jnp.asarray(part_pad.astype(np.int32)),
+                deg=deg, n_cand=n_cand, metric=metric,
+                diversify=cfg.diversify)
+            tgt_slots = jnp.where(
+                jnp.asarray(part_pad) >= 0,
+                wsl_dev[jnp.clip(jnp.asarray(part_pad.astype(np.int32)),
+                                 0, cur_wave - 1)],
+                cap_pad)
+            full_rows = jnp.concatenate(
+                [rows, jnp.full((cur_wave, Wd - deg), -1, jnp.int32)],
+                axis=1) if Wd > deg else rows
+            nb_l = nb_dev[layer]
+            nb_l = jnp.concatenate(
+                [nb_l, jnp.full((1, Wd), -1, jnp.int32)]) \
+                .at[tgt_slots].set(full_rows, mode="drop")[:cap_pad]
+            rev_t = rows.reshape(-1)
+            rev_s = jnp.repeat(tgt_slots.astype(jnp.int32), deg)
+            rev_t = jnp.where((rev_t >= 0) & (rev_s < cap_pad), rev_t, -1)
+            rev_s = jnp.where(rev_t >= 0, rev_s, -1)
+            nb_l = _reverse_update(nb_l, vectors_dev, sq_dev, rev_t,
+                                   rev_s, deg=deg, metric=metric)
+            nb_dev = nb_dev.at[layer].set(nb_l)
+
+    host.neighbors[:] = np.asarray(nb_dev[:, :ncap])

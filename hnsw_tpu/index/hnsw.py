@@ -124,6 +124,14 @@ class Graph:
         bulk_insert_device(self.host, slot_list, wave=wave)
         self._dirty = True
 
+    def refine(self, wave: int = 2048) -> None:
+        """Second-pass edge refinement against the final graph —
+        recovers the recall that batched wave construction loses on
+        early nodes (core/build_device.refine_device)."""
+        from hnsw_tpu.core.build_device import refine_device
+        refine_device(self.host, wave=wave)
+        self._dirty = True
+
     def delete(self, key: Hashable) -> bool:
         """Remove a node and repair its neighborhood
         (graph.go:843 Delete + isolate/replenish)."""

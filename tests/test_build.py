@@ -94,3 +94,18 @@ def test_bulk_build_levels_geometric():
     sizes = [(levels >= l).sum() for l in range(g.num_layers)]
     assert sizes[0] == 600
     assert 0.1 < sizes[1] / sizes[0] < 0.45
+
+
+def test_refine_preserves_and_improves():
+    v = make_vectors(600, 24, seed=140)
+    g = Graph(seed=0)
+    g.build(list(range(600)), v, wave=128)
+    q = make_vectors(30, 24, seed=141)
+    _, gt = np_exact_topk(q, v, 10, "cosine")
+    keys0, _ = g.batch_search(q, 10, ef=80)
+    r0 = _recall(keys0, gt, 10)
+    g.refine(wave=256)
+    keys1, _ = g.batch_search(q, 10, ef=80)
+    r1 = _recall(keys1, gt, 10)
+    assert r1 >= r0 - 0.02  # never materially worse
+    assert g.search(v[11], 1)[0][0] == 11
