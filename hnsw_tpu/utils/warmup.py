@@ -17,6 +17,15 @@ def warmup_transfers() -> None:
     if _done:
         return
     import jax
+    try:
+        # persistent compilation cache: kernel compiles here cost 5-15s
+        # each (remote compile); cache them across processes
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     x = jnp.zeros((8, 128), jnp.float32)
     np.asarray(x)
