@@ -214,7 +214,11 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
     w0 = start
     while w0 < n_new:
-        cur_wave = min(wave, max(256, bucket_pow2(host.count)))
+        # ramp: a wave may be up to 4x the current graph size (the
+        # intra-wave kNN carries within-wave edges; refine() recovers
+        # any residual early-wave quality). Fewer ramp steps = fewer
+        # compiled shapes = faster builds on remote-compile backends.
+        cur_wave = min(wave, max(512, bucket_pow2(4 * host.count)))
         w1 = min(w0 + cur_wave, n_new)
         wslots = slots[w0:w1]
         wlevels = levels[w0:w1]
