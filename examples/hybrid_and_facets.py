@@ -4,6 +4,11 @@ Run: python examples/hybrid_and_facets.py
 (Covers the reference's hybrid/, facets/, meta/ example programs.)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import numpy as np
 
 from hnsw_tpu import (AdaptiveHybridIndex, EqualityFilter, Facet,

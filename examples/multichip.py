@@ -5,6 +5,11 @@ Run on CPU with virtual devices:
       python examples/multichip.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import numpy as np
 
 

@@ -4,6 +4,11 @@ Run: python examples/quickstart.py
 (Equivalent of the reference's example/main.go basic walkthrough.)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 import numpy as np
 
 from hnsw_tpu import Graph, SavedGraph
