@@ -65,6 +65,13 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
     M = g.m
     neigh = g.neighbors[layer]              # [cap, M]
     rows = jnp.arange(B)
+    # Visited-set representation: dense bitmask for small caps; a
+    # direct-mapped id table for large caps (the [B, cap] mask costs
+    # 134MB/1024-query batch at cap=131k and its scatter/gather traffic
+    # dominates hop time). Table collisions only cause re-evaluation
+    # (caught by pool dedup) — never wrong results.
+    use_hash = cap >= 65536
+    S = 4096
 
     # Pool init: the start node occupies slot 0 (mirrors the reference
     # pushing the entry into the result set first, graph.go:122).
@@ -77,9 +84,14 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
               + vary0[:, None])
     pool_d = jnp.full((B, P), INF_DIST, jnp.float32).at[:, 0].set(start_d)
     expanded = pool_i < -1
-    visited = (jnp.zeros((B, cap), bool)
-               .at[rows, jnp.clip(start_ids, 0, cap - 1)].set(True)
-               | (vary0 > 0)[:, None])
+    if use_hash:
+        visited = (jnp.full((B, S), -1, jnp.int32)
+                   .at[rows, jnp.clip(start_ids, 0, cap - 1) % S]
+                   .set(start_ids) + vary0[:, None])
+    else:
+        visited = (jnp.zeros((B, cap), bool)
+                   .at[rows, jnp.clip(start_ids, 0, cap - 1)].set(True)
+                   | (vary0 > 0)[:, None])
     hop0 = jnp.min(vary0)
 
     def active_and_sel(pool_d, pool_i, expanded):
@@ -113,10 +125,22 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
             sl = slice(e * M, (e + 1) * M)
             nb_e = nb_safe[:, sl]
             ok_e = nb_ok[:, sl]
-            seen_e = visited[rows[:, None], nb_e]
-            masks.append(ok_e & (~seen_e) & g.alive[nb_e])
-            visited = visited.at[rows[:, None], nb_e].max(ok_e)
+            if use_hash:
+                slot_e = nb_e % S
+                seen_e = visited[rows[:, None], slot_e] == nb_e
+                masks.append(ok_e & (~seen_e) & g.alive[nb_e])
+                visited = visited.at[rows[:, None], slot_e].set(
+                    jnp.where(ok_e, nb_e,
+                              visited[rows[:, None], slot_e]))
+            else:
+                seen_e = visited[rows[:, None], nb_e]
+                masks.append(ok_e & (~seen_e) & g.alive[nb_e])
+                visited = visited.at[rows[:, None], nb_e].max(ok_e)
         eval_mask = jnp.concatenate(masks, axis=1)
+        if use_hash:
+            # collisions may resurface pool members: explicit dedup
+            in_pool = (nbrs[:, :, None] == pool_i[:, None, :]).any(-1)
+            eval_mask = eval_mask & (~in_pool)
 
         cand_vecs = g.vectors[nb_safe]                      # [B, E*M, D]
         cand_sq = g.sq_norms[nb_safe]

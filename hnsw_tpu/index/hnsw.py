@@ -178,11 +178,20 @@ class Graph:
             import ml_dtypes
             sd = (ml_dtypes.bfloat16 if self.cfg.store_dtype == "bfloat16"
                   else np.float32)
+            vecs = (self.store.vectors[:use]
+                    if self.store.vectors is not None
+                    else np.zeros((0, 1), np.float32))
+            sqs = (self.store.sq_norms[:use]
+                   if self.store.sq_norms is not None
+                   else np.zeros((0,), np.float32))
+            if self.metric == "cosine" and vecs.size:
+                # pre-normalized store: cosine distances are invariant,
+                # and hops skip the per-candidate norm gather entirely
+                vecs = vecs / np.sqrt(np.maximum(sqs, 1e-30))[:, None]
+                sqs = np.ones_like(sqs)
             self._dev = from_host(
-                self.store.vectors[:use] if self.store.vectors is not None
-                else np.zeros((0, 1), np.float32),
-                self.store.sq_norms[:use] if self.store.sq_norms is not None
-                else np.zeros((0,), np.float32),
+                vecs,
+                sqs,
                 nb[:, :use],
                 levels[:use],
                 (self.store.alive[:use] if self.store.alive is not None

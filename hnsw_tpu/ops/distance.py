@@ -15,6 +15,12 @@ Gram block:
 Squared norms are cached alongside the vector store so the epilogue never
 re-reads the vectors. A distance-function registry mirrors the reference's
 ``RegisterDistanceFunc`` (distance.go:25-46) for checkpoint round-trips.
+
+Numerical note: the Gram-based l2 epilogue (|a|^2+|b|^2-2ab) cancels
+catastrophically when coordinates are huge relative to neighbor gaps
+(|x| ~ 1e4 in f32) — the standard trade of this formulation (FAISS
+makes the same one). Embedding-scale data (normalized or O(1..100)
+coordinates) is unaffected; center/rescale pathological inputs.
 """
 
 from __future__ import annotations

@@ -79,3 +79,53 @@ def test_mixed_ops_stay_consistent():
             res = g.search(q, 5)
             assert all(k in live for k, _ in res)
     assert len(g) == len(live)
+
+
+def test_hash_visited_path_large_cap():
+    # cap >= 65536 flips beam search to the direct-mapped visited table;
+    # verify exact behavior on a synthetic 1-D line graph where true
+    # nearest neighbors are known.
+    import jax.numpy as jnp
+    from hnsw_tpu.core.search import search_graph
+    from hnsw_tpu.core.state import DeviceGraph
+
+    cap, d, m = 65536, 8, 16
+    # center coordinates at 0: the Gram-based l2 epilogue cancels
+    # catastrophically when |x| ~ 1e4 (ulp of x^2 exceeds neighbor
+    # separation) — standard property of the ||a||^2+||b||^2-2ab
+    # formulation, not a search bug
+    xs = np.arange(cap, dtype=np.float32) - cap // 2
+    vecs = np.zeros((cap, d), np.float32)
+    vecs[:, 0] = xs
+    vecs[:, 1] = 1.0  # keep norms nonzero
+    sq = np.sum(vecs * vecs, axis=1)
+    # layer 0: connect to +-8 neighbors; layer 1: every 64th node
+    # connects to +-8 strided neighbors
+    nb = np.full((2, cap, m), -1, np.int32)
+    offs = np.array([o for o in range(-8, 9) if o != 0][:m])
+    rows_i = np.arange(cap, dtype=np.int64)
+    idx = rows_i[:, None] + offs[None, :]
+    np.clip(idx, 0, cap - 1, out=idx)
+    nb[0] = idx
+    coarse = np.arange(0, cap, 64)
+    cidx = (coarse[:, None] + offs[None, :] * 64)
+    np.clip(cidx, 0, cap - 1, out=cidx)
+    nb[1, coarse] = cidx
+    levels = np.zeros(cap, np.int32)
+    levels[coarse] = 1
+    g = DeviceGraph(vectors=jnp.asarray(vecs), sq_norms=jnp.asarray(sq),
+                    neighbors=jnp.asarray(nb),
+                    levels=jnp.asarray(levels),
+                    alive=jnp.ones(cap, bool),
+                    entry=jnp.asarray(np.int32(cap // 2)))
+    rng = np.random.default_rng(7)
+    targets = rng.integers(cap // 2 - 3000, cap // 2 + 3000, 16)
+    q = np.zeros((16, d), np.float32)
+    q[:, 0] = targets - cap // 2
+    q[:, 1] = 1.0
+    dists, ids = search_graph(g, jnp.asarray(q), k=5, ef=32,
+                              metric="l2", max_hops=4096, expand=4)
+    ids = np.asarray(ids)
+    for i, t in enumerate(targets):
+        assert ids[i, 0] == t, (t, ids[i])
+        assert set(ids[i]).issubset(set(range(t - 8, t + 9)))
