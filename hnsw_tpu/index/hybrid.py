@@ -81,7 +81,11 @@ class HybridIndex:
         threshold everything (incl. the exact tier's contents) migrates
         to HNSW + LSH (hybrid.go:233's Add flow, batched)."""
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))
-        new_total = self.stats.total_vectors + len(keys)
+        fresh = sum(1 for k in keys
+                    if k not in self.exact.slots
+                    and k not in self.graph.slots
+                    and k not in self.lsh.slots)
+        new_total = self.stats.total_vectors + fresh
         if new_total <= self.cfg.exact_threshold:
             self.exact.batch_add(keys, vectors)
             self.stats.exact_count = len(self.exact)

@@ -204,3 +204,13 @@ def test_hybrid_ivf_large_strategy():
     assert h.ivf is not None and len(h.ivf) == 400
     assert h.delete(9)
     assert h.search(v[9], 1)[0][0] != 9
+
+
+def test_hybrid_readd_does_not_inflate_count():
+    v = make_vectors(30, 8, seed=150)
+    h = HybridIndex(config=HybridConfig(exact_threshold=100))
+    h.batch_add(list(range(30)), v)
+    h.batch_add(list(range(10)), v[:10])  # re-add = replace
+    assert len(h) == 30
+    h.add(5, v[5])
+    assert len(h) == 30
