@@ -42,7 +42,8 @@ from hnsw_tpu.index.ivf import IVFIndex
 from hnsw_tpu.index.lsh import LSHIndex
 from hnsw_tpu.index.partitioner import Partitioner
 from hnsw_tpu.io.appender import AppenderConfig, ArrowAppender
-from hnsw_tpu.io.codec import SavedGraph, load_graph, save_graph
+from hnsw_tpu.io.codec import (SavedGraph, export_graph,
+                               import_graph, load_graph, save_graph)
 from hnsw_tpu.io.disk_graph import DiskGraph
 from hnsw_tpu.meta import (MemoryMetadataStore, MetadataGraph, MetadataStore)
 from hnsw_tpu.ops.distance import register_distance

@@ -31,8 +31,19 @@ import numpy as np
 FORMAT_VERSION = 1
 
 
-def save_graph(graph, path: str) -> None:
-    """Atomically write a Graph checkpoint."""
+def export_graph(graph, fileobj) -> None:
+    """Serialize a Graph to a writable binary stream — the stream-based
+    twin of save_graph (reference Graph.Export(w), encode.go:133)."""
+    np.savez_compressed(fileobj, **_payload(graph))
+
+
+def import_graph(fileobj, config=None):
+    """Deserialize a Graph from a readable binary stream
+    (reference Graph.Import(r), encode.go:180)."""
+    return _load(np.load(fileobj, allow_pickle=False), config)
+
+
+def _payload(graph) -> dict:
     from hnsw_tpu.config import METRICS
     from hnsw_tpu.ops.distance import registered
 
@@ -64,6 +75,12 @@ def save_graph(graph, path: str) -> None:
         "top": np.int64(host.top),
         "count": np.int64(host.count),
     }
+    return payload
+
+
+def save_graph(graph, path: str) -> None:
+    """Atomically write a Graph checkpoint to ``path``."""
+    payload = _payload(graph)
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
@@ -85,25 +102,29 @@ def load_graph(path: str, config=None):
     importing under different params, encode.go:178-179); the metric
     must be builtin or registered.
     """
+    with np.load(path, allow_pickle=False) as z:
+        return _load(z, config)
+
+
+def _load(z, config=None):
     from hnsw_tpu.config import GraphConfig
     from hnsw_tpu.index.hnsw import Graph
     from hnsw_tpu.ops.distance import resolve_metric
 
-    with np.load(path, allow_pickle=False) as z:
-        version = int(z["version"])
-        if version > FORMAT_VERSION:
-            raise ValueError(
-                f"checkpoint version {version} newer than supported "
-                f"{FORMAT_VERSION}")
-        stored_cfg = json.loads(bytes(z["config"].tobytes()).decode())
-        key_table = pickle.loads(bytes(z["keys"].tobytes()))
-        vectors = z["vectors"]
-        alive = z["alive"]
-        neighbors = z["neighbors"]
-        levels = z["levels"]
-        entry = int(z["entry"])
-        top = int(z["top"])
-        count = int(z["count"])
+    version = int(z["version"])
+    if version > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint version {version} newer than supported "
+            f"{FORMAT_VERSION}")
+    stored_cfg = json.loads(bytes(z["config"].tobytes()).decode())
+    key_table = pickle.loads(bytes(z["keys"].tobytes()))
+    vectors = z["vectors"]
+    alive = z["alive"]
+    neighbors = z["neighbors"]
+    levels = z["levels"]
+    entry = int(z["entry"])
+    top = int(z["top"])
+    count = int(z["count"])
 
     cfg = config or GraphConfig(**stored_cfg)
     resolve_metric(cfg.metric)  # raise if unknown/unregistered

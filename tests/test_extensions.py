@@ -211,3 +211,17 @@ def test_saved_graph_wrapper(tmp_path):
     sg.save()
     sg2 = SavedGraph.load(p)
     assert len(sg2.graph) == 1
+
+
+def test_stream_export_import():
+    import io as _io
+    from hnsw_tpu.io.codec import export_graph, import_graph
+    v = make_vectors(60, 8, seed=160)
+    g = Graph(seed=0)
+    g.batch_add(list(range(60)), v)
+    buf = _io.BytesIO()
+    export_graph(g, buf)
+    buf.seek(0)
+    g2 = import_graph(buf)
+    assert len(g2) == 60
+    assert g2.search(v[9], 1)[0][0] == 9
