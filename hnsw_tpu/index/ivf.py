@@ -168,26 +168,40 @@ class IVFIndex:
         return [self.delete(k) for k in keys]
 
     # -- device layout --------------------------------------------------------------
+    #: fixed block size: partitions split into [*, BS] chunks so scan
+    #: work tracks TRUE partition sizes instead of the max (skewed
+    #: partitions otherwise pad every partition to the largest — at
+    #: 200k clustered that made IVF slower than the exact scan).
+    BLOCK = 1024
+
     def _sync(self):
         if not self._dirty and self._dev is not None:
             return self._dev
         dim = next(iter(self._vecs.values())).shape[0] if self._vecs else 1
-        cap_p = bucket_pow2(max(max((len(m) for m in self._members),
-                                    default=1), 1), 8)
-        blocks = np.zeros((self.P, cap_p, dim), np.float32)
-        block_sq = np.zeros((self.P, cap_p), np.float32)
-        block_valid = np.zeros((self.P, cap_p), bool)
-        block_slot = np.full((self.P, cap_p), -1, np.int64)
+        sizes = [len(m) for m in self._members]
+        bs = min(self.BLOCK, bucket_pow2(max(max(sizes, default=1), 1), 8))
+        # partition -> list of block indices
+        part_blocks: List[List[int]] = [[] for _ in range(self.P)]
+        rows = []
         for p, mem in enumerate(self._members):
+            for c0 in range(0, max(len(mem), 1), bs):
+                part_blocks[p].append(len(rows))
+                rows.append((p, mem[c0:c0 + bs]))
+        NB = len(rows)
+        blocks = np.zeros((NB, bs, dim), np.float32)
+        block_sq = np.zeros((NB, bs), np.float32)
+        block_valid = np.zeros((NB, bs), bool)
+        block_slot = np.full((NB, bs), -1, np.int64)
+        for b, (p, mem) in enumerate(rows):
             for i, slot in enumerate(mem):
                 v = self._vecs[slot]
-                blocks[p, i] = v
-                block_sq[p, i] = float(np.dot(v, v))
-                block_valid[p, i] = True
-                block_slot[p, i] = slot
+                blocks[b, i] = v
+                block_sq[b, i] = float(np.dot(v, v))
+                block_valid[b, i] = True
+                block_slot[b, i] = slot
         self._dev = (jnp.asarray(blocks), jnp.asarray(block_sq),
                      jnp.asarray(block_valid), block_slot,
-                     jnp.asarray(self.centroids))
+                     jnp.asarray(self.centroids), part_blocks)
         self._dirty = False
         return self._dev
 
@@ -201,7 +215,9 @@ class IVFIndex:
         if len(self.slots) == 0:
             return ([[None] * k for _ in range(Q)],
                     np.full((Q, k), INF_DIST, np.float32))
-        blocks, block_sq, block_valid, block_slot, cents = self._sync()
+        (blocks, block_sq, block_valid, block_slot, cents,
+         part_blocks) = self._sync()
+        NB = blocks.shape[0]
 
         # 1. probe assignment (one [Q, P] matmul)
         cd = np.asarray(pairwise_dist(jnp.asarray(queries), cents,
@@ -209,34 +225,43 @@ class IVFIndex:
         probe = np.argpartition(cd, min(self.nprobe, self.P) - 1,
                                 axis=1)[:, :self.nprobe]      # [Q, nprobe]
 
-        # 2. group queries by partition (host)
-        per_part: List[List[int]] = [[] for _ in range(self.P)]
-        probe_pos = np.zeros((Q, self.nprobe, 2), np.int64)
+        # 2. group queries by BLOCK (host)
+        per_block: List[List[int]] = [[] for _ in range(NB)]
+        probe_pos: List[List[Tuple[int, int]]] = [[] for _ in range(Q)]
         for qi in range(Q):
-            for j, p in enumerate(probe[qi]):
-                p = int(p)
-                probe_pos[qi, j] = (p, len(per_part[p]))
-                per_part[p].append(qi)
-        qp_max = bucket_pow2(max(max((len(x) for x in per_part),
+            for p in probe[qi]:
+                for b in part_blocks[int(p)]:
+                    probe_pos[qi].append((b, len(per_block[b])))
+                    per_block[b].append(qi)
+        qp_max = bucket_pow2(max(max((len(x) for x in per_block),
                                      default=1), 1), 8)
-        q_rows = np.full((self.P, qp_max), -1, np.int32)
-        for p, lst in enumerate(per_part):
-            q_rows[p, :len(lst)] = lst
+        q_rows = np.full((NB, qp_max), -1, np.int32)
+        for b, lst in enumerate(per_block):
+            q_rows[b, :len(lst)] = lst
 
         # 3. one batched scan of all probed blocks
         dk, ck = _scan_blocks(jnp.asarray(queries), jnp.asarray(q_rows),
                               blocks, block_sq, block_valid,
                               self.metric, k)
-        dk = np.asarray(dk)                                  # [P, Qp, k]
+        dk = np.asarray(dk)                                  # [NB, Qp, k]
         ck = np.asarray(ck)
 
-        # 4. per-query merge of its nprobe result rows
-        pp = probe_pos[:, :, 0]
-        rr = probe_pos[:, :, 1]
-        d_all = dk[pp, rr].reshape(Q, -1)                    # [Q, nprobe*k]
+        # 4. per-query merge across its probed blocks
+        kk = ck.shape[-1]
+        t_max = max(len(x) for x in probe_pos)
+        pp = np.zeros((Q, t_max), np.int64)
+        rr = np.zeros((Q, t_max), np.int64)
+        valid_t = np.zeros((Q, t_max), bool)
+        for qi, lst in enumerate(probe_pos):
+            for j, (b, r) in enumerate(lst):
+                pp[qi, j] = b
+                rr[qi, j] = r
+                valid_t[qi, j] = True
+        d_all = np.where(valid_t[:, :, None], dk[pp, rr],
+                         np.float32(INF_DIST)).reshape(Q, -1)
         c_all = ck[pp, rr].reshape(Q, -1)
-        s_all = block_slot[np.repeat(pp, min(k, ck.shape[-1]),
-                                     axis=1).reshape(Q, -1), c_all]
+        s_all = block_slot[np.repeat(pp, kk, axis=1).reshape(Q, -1),
+                           c_all]
         order = np.argsort(d_all, axis=1, kind="stable")[:, :k]
         dd = np.take_along_axis(d_all, order, axis=1)
         ss = np.take_along_axis(s_all, order, axis=1)
