@@ -34,6 +34,27 @@ from hnsw_tpu.ops.topk import merge_topk, topk_smallest
 from hnsw_tpu.utils.keystore import SlotMap
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_probed(dk, ck, block_slot, pp, rr, valid, *, k: int):
+    """Per-query merge of probed block results, on device.
+
+    dk/ck: [NB, Qp, kk]; block_slot: [NB, bs]; pp/rr: [Q, T] (block id,
+    row-in-block) per probed block; valid: [Q, T].
+    Returns (dists [Q, k], slots [Q, k]) — the only D2H payload.
+    """
+    d_sel = jnp.where(valid[:, :, None], dk[pp, rr], INF_DIST)  # [Q,T,kk]
+    c_sel = ck[pp, rr]
+    s_sel = jnp.take_along_axis(block_slot[pp],
+                                jnp.clip(c_sel, 0, None), axis=2)
+    Q = pp.shape[0]
+    d_all = d_sel.reshape(Q, -1)
+    s_all = jnp.where(d_sel < INF_DIST / 2, s_sel, -1).reshape(Q, -1)
+    kk = min(k, d_all.shape[1])
+    dd, pos = topk_smallest(d_all, kk)
+    ss = jnp.take_along_axis(s_all, pos, axis=1)
+    return dd, jnp.where(dd < INF_DIST / 2, ss, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "k"))
 def _scan_blocks(queries, q_rows, blocks, block_sq, block_valid,
                  metric: str, k: int):
@@ -199,6 +220,7 @@ class IVFIndex:
                 block_sq[b, i] = float(np.dot(v, v))
                 block_valid[b, i] = True
                 block_slot[b, i] = slot
+        self._dev_slots = jnp.asarray(block_slot)
         self._dev = (jnp.asarray(blocks), jnp.asarray(block_sq),
                      jnp.asarray(block_valid), block_slot,
                      jnp.asarray(self.centroids), part_blocks)
@@ -239,16 +261,13 @@ class IVFIndex:
         for b, lst in enumerate(per_block):
             q_rows[b, :len(lst)] = lst
 
-        # 3. one batched scan of all probed blocks
+        # 3. one batched scan of all probed blocks (device-resident)
         dk, ck = _scan_blocks(jnp.asarray(queries), jnp.asarray(q_rows),
                               blocks, block_sq, block_valid,
                               self.metric, k)
-        dk = np.asarray(dk)                                  # [NB, Qp, k]
-        ck = np.asarray(ck)
 
-        # 4. per-query merge across its probed blocks
-        kk = ck.shape[-1]
-        t_max = max(len(x) for x in probe_pos)
+        # 4. per-query merge on device; only [Q, k] crosses the link
+        t_max = bucket_pow2(max(len(x) for x in probe_pos), 4)
         pp = np.zeros((Q, t_max), np.int64)
         rr = np.zeros((Q, t_max), np.int64)
         valid_t = np.zeros((Q, t_max), bool)
@@ -257,15 +276,10 @@ class IVFIndex:
                 pp[qi, j] = b
                 rr[qi, j] = r
                 valid_t[qi, j] = True
-        d_all = np.where(valid_t[:, :, None], dk[pp, rr],
-                         np.float32(INF_DIST)).reshape(Q, -1)
-        c_all = ck[pp, rr].reshape(Q, -1)
-        s_all = block_slot[np.repeat(pp, kk, axis=1).reshape(Q, -1),
-                           c_all]
-        order = np.argsort(d_all, axis=1, kind="stable")[:, :k]
-        dd = np.take_along_axis(d_all, order, axis=1)
-        ss = np.take_along_axis(s_all, order, axis=1)
-        ss = np.where(dd < INF_DIST / 2, ss, -1)
+        dd, ss = _merge_probed(dk, ck, self._dev_slots, jnp.asarray(pp),
+                               jnp.asarray(rr), jnp.asarray(valid_t), k=k)
+        dd = np.asarray(dd)
+        ss = np.asarray(ss)
         keys = [self.slots.keys_for(row) for row in ss]
         if dd.shape[1] < k:
             pad = k - dd.shape[1]
