@@ -172,6 +172,13 @@ class StoreConfig:
     wal_max_changes: int = 1000
     wal_max_age_seconds: float = 3600.0
     wal_max_log_files: int = 5
+    #: age-based background WAL flush (the reference's 30s flush
+    #: goroutine, parquet/vector_ops.go:80-95). 0 disables the thread.
+    wal_flush_interval_seconds: float = 30.0
+    #: flush the WAL to disk after EVERY mutation (full durability at
+    #: the cost of one log write per change). Default matches the
+    #: reference: buffered, volatile until flush.
+    wal_sync_writes: bool = False
     format: str = "parquet"  # "parquet" | "arrow" | "npz"
 
     def validate(self) -> None:
@@ -179,6 +186,8 @@ class StoreConfig:
             raise ValueError("directory must be set")
         if self.format not in ("parquet", "arrow", "npz"):
             raise ValueError(f"bad format {self.format}")
+        if self.wal_flush_interval_seconds < 0:
+            raise ValueError("wal_flush_interval_seconds must be >= 0")
 
 
 @dataclasses.dataclass(frozen=True)

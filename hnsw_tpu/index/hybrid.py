@@ -81,6 +81,12 @@ class HybridIndex:
         threshold everything (incl. the exact tier's contents) migrates
         to HNSW + LSH (hybrid.go:233's Add flow, batched)."""
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        if len(set(keys)) != len(keys):
+            # duplicates within one batch are one stored vector, not
+            # several (last write wins) — dedup before counting/storing
+            order = sorted({k: i for i, k in enumerate(keys)}.values())
+            keys = [keys[i] for i in order]
+            vectors = vectors[order]
         fresh = sum(1 for k in keys
                     if k not in self.exact.slots
                     and k not in self.graph.slots

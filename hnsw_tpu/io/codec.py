@@ -12,8 +12,12 @@ arrays. We keep the reference's durable ideas:
   * an imported graph "converges onto" the hyper-params of the file
     (encode.go:178-179)
 
-Format: numpy .npz (compressed) + a JSON config entry + pickled key
-table (keys are arbitrary hashable Python objects).
+Format: numpy .npz (compressed) + a JSON config entry + a tagged-JSON
+key table (io/table.key_to_json — injective and code-exec-safe, unlike
+pickle; matches the reference's safe binary codec posture, encode.go).
+Version-1 checkpoints stored keys with pickle; loading those requires
+an explicit ``allow_pickle=True`` opt-in because unpickling untrusted
+data executes arbitrary code.
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ from typing import Any, Optional
 
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def export_graph(graph, fileobj) -> None:
@@ -37,14 +41,16 @@ def export_graph(graph, fileobj) -> None:
     np.savez_compressed(fileobj, **_payload(graph))
 
 
-def import_graph(fileobj, config=None):
+def import_graph(fileobj, config=None, allow_pickle: bool = False):
     """Deserialize a Graph from a readable binary stream
     (reference Graph.Import(r), encode.go:180)."""
-    return _load(np.load(fileobj, allow_pickle=False), config)
+    return _load(np.load(fileobj, allow_pickle=False), config,
+                 allow_pickle=allow_pickle)
 
 
 def _payload(graph) -> dict:
     from hnsw_tpu.config import METRICS
+    from hnsw_tpu.io import table as T
     from hnsw_tpu.ops.distance import registered
 
     cfg = graph.cfg
@@ -62,10 +68,11 @@ def _payload(graph) -> dict:
         "version": np.int64(FORMAT_VERSION),
         "config": np.frombuffer(json.dumps(
             dataclasses.asdict(cfg)).encode(), dtype=np.uint8),
-        "keys": np.frombuffer(pickle.dumps({
-            "slot_to_key": graph.slots.slot_to_key,
-            "free": graph.slots.free,
-        }), dtype=np.uint8),
+        "keys_json": np.frombuffer(json.dumps({
+            "slot_to_key": [None if k is None else T.key_to_json(k)
+                            for k in graph.slots.slot_to_key],
+            "free": [int(s) for s in graph.slots.free],
+        }).encode(), dtype=np.uint8),
         "vectors": (graph.store.vectors[:n] if n else
                     np.zeros((0, 0), np.float32)),
         "alive": (graph.store.alive[:n] if n else np.zeros((0,), bool)),
@@ -95,20 +102,23 @@ def save_graph(graph, path: str) -> None:
         raise
 
 
-def load_graph(path: str, config=None):
+def load_graph(path: str, config=None, allow_pickle: bool = False):
     """Load a checkpoint into a fresh Graph.
 
     ``config`` overrides the stored hyper-params (the reference allows
     importing under different params, encode.go:178-179); the metric
-    must be builtin or registered.
+    must be builtin or registered. ``allow_pickle`` is required to load
+    legacy v1 checkpoints whose key table was pickled — only set it for
+    checkpoints you trust (unpickling executes arbitrary code).
     """
     with np.load(path, allow_pickle=False) as z:
-        return _load(z, config)
+        return _load(z, config, allow_pickle=allow_pickle)
 
 
-def _load(z, config=None):
+def _load(z, config=None, allow_pickle: bool = False):
     from hnsw_tpu.config import GraphConfig
     from hnsw_tpu.index.hnsw import Graph
+    from hnsw_tpu.io import table as T
     from hnsw_tpu.ops.distance import resolve_metric
 
     version = int(z["version"])
@@ -117,7 +127,20 @@ def _load(z, config=None):
             f"checkpoint version {version} newer than supported "
             f"{FORMAT_VERSION}")
     stored_cfg = json.loads(bytes(z["config"].tobytes()).decode())
-    key_table = pickle.loads(bytes(z["keys"].tobytes()))
+    if "keys_json" in z.files:
+        raw = json.loads(bytes(z["keys_json"].tobytes()).decode())
+        key_table = {
+            "slot_to_key": [None if j is None else T.key_from_json(j)
+                            for j in raw["slot_to_key"]],
+            "free": [int(s) for s in raw["free"]],
+        }
+    else:  # v1 legacy: pickled key table
+        if not allow_pickle:
+            raise ValueError(
+                "this checkpoint stores its key table with pickle "
+                "(format v1); pass allow_pickle=True only if you trust "
+                "its origin — unpickling executes arbitrary code")
+        key_table = pickle.loads(bytes(z["keys"].tobytes()))
     vectors = z["vectors"]
     alive = z["alive"]
     neighbors = z["neighbors"]

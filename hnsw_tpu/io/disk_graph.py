@@ -19,6 +19,7 @@ replicate): mutations append WAL records; ``save`` / ``compact`` /
 from __future__ import annotations
 
 import os
+import threading
 import time
 from typing import Any, Hashable, List, Optional, Sequence, Tuple
 
@@ -49,35 +50,83 @@ class DiskGraph:
             os.path.join(directory, "wal"), fmt=self.fmt,
             max_changes=self.scfg.wal_max_changes,
             max_age_seconds=self.scfg.wal_max_age_seconds,
-            max_log_files=self.scfg.wal_max_log_files)
+            max_log_files=self.scfg.wal_max_log_files,
+            sync_writes=self.scfg.wal_sync_writes)
         self.graph = self._open(config)
+        # Age-based background WAL flush (the reference's 30s flush
+        # goroutine — parquet/vector_ops.go:80-95, arrow/vector_store.go:
+        # 73-95). Buffered changes older than the interval hit disk even
+        # with no further mutations.
+        self._stop_flusher = threading.Event()
+        self._flusher: Optional[threading.Thread] = None
+        interval = self.scfg.wal_flush_interval_seconds
+        if interval and interval > 0:
+            self._flusher = threading.Thread(
+                target=self._flush_loop, args=(interval,), daemon=True,
+                name=f"hnsw-wal-flush-{os.path.basename(directory)}")
+            self._flusher.start()
+
+    def _flush_loop(self, interval: float) -> None:
+        tick = min(interval, 1.0)
+        while not self._stop_flusher.wait(tick):
+            try:
+                self.wal.flush_if_stale(interval)
+            except Exception:  # never kill the daemon on a transient IO error
+                pass
 
     # -- file paths ----------------------------------------------------------
     def _p(self, name: str) -> str:
         return os.path.join(self.dir, f"{name}.{T.ext_for(self.fmt)}")
 
     # -- open / load -----------------------------------------------------------
+    @staticmethod
+    def _overlay_differs(base_keys, base_vecs, keys, vecs) -> bool:
+        """True when the merged WAL state differs from the base tables —
+        by key set OR by vector values (a flushed update to an existing
+        key must trigger a rebuild, not be discarded)."""
+        if len(keys) != len(base_keys):
+            return True
+        base = {k: v for k, v in zip(base_keys, base_vecs)}
+        for k, v in zip(keys, vecs):
+            b = base.get(k)
+            if b is None or not np.array_equal(b, v):
+                return True
+        return False
+
     def _open(self, config: Optional[GraphConfig]) -> Graph:
         meta_p = self._p("metadata")
-        if not os.path.exists(meta_p):
-            return Graph(config=config or GraphConfig())
-        meta = T.read_metadata(meta_p, self.fmt)
-        cfg = config or GraphConfig(**meta["config"])
+        have_meta = os.path.exists(meta_p)
+        meta: dict = {}
+        if have_meta:
+            meta = T.read_metadata(meta_p, self.fmt)
+        cfg = config or (GraphConfig(**meta["config"]) if have_meta
+                         else GraphConfig())
         g = Graph(config=cfg)
+        has_logs = self.wal.num_log_files > 0
+        if not have_meta and not has_logs:
+            return g
         base_keys, base_vecs = ([], np.zeros((0, 0), np.float32))
         if os.path.exists(self._p("vectors")):
             base_keys, base_vecs = T.read_vectors(self._p("vectors"),
                                                   self.fmt)
-        # merge WAL overlay, compacting on open (parquet/graph.go:157)
-        keys, vecs = self.wal.compact(base_keys, base_vecs)
-        changed = (len(keys) != len(base_keys)
-                   or set(map(str, keys)) != set(map(str, base_keys)))
+        # merge the WAL overlay WITHOUT deleting logs; logs are only
+        # discarded after the merged state is durably persisted
+        # (compaction-on-open, parquet/graph.go:157 — minus the
+        # reference's delete-before-persist ordering hazard)
+        keys, vecs = self.wal.merge(base_keys, base_vecs)
+        changed = has_logs and self._overlay_differs(base_keys, base_vecs,
+                                                     keys, vecs)
         if not changed and os.path.exists(self._p("neighbors")):
             # structure on disk still valid: restore it directly
-            self._restore_structure(g, base_keys, base_vecs, meta)
-        elif keys:
-            g.build(keys, vecs)
+            if base_keys:
+                self._restore_structure(g, base_keys, base_vecs, meta)
+            if has_logs:
+                self.wal.discard_logs()  # logs held nothing new
+        elif keys or has_logs:
+            if keys:
+                g.build(keys, vecs)
             self._persist(g)
+            self.wal.discard_logs()
         return g
 
     def _restore_structure(self, g: Graph, keys, vecs, meta) -> None:
@@ -203,19 +252,21 @@ class DiskGraph:
         self.wal.flush()
 
     def compact(self) -> None:
-        """Fold the WAL into the base tables (incremental.go:453-488)."""
+        """Fold the WAL into the base tables (incremental.go:453-488).
+        Persist first, THEN drop the logs — a crash in between leaves
+        redundant logs, never lost data."""
         self._persist()
-        # structure now reflects every WAL change: drop the logs
-        for p in self.wal._log_paths():
-            os.unlink(p)
-        self.wal.pending.clear()
-        self.wal.oldest_pending = None
+        self.wal.discard_logs()
 
     def optimize(self) -> None:
         """ArrowIndex.Optimize (arrow/index.go:188): flush + save."""
         self.compact()
 
     def close(self) -> None:
+        self._stop_flusher.set()
+        if self._flusher is not None:
+            self._flusher.join(timeout=5)
+            self._flusher = None
         self.save()
 
     def stats(self) -> dict:

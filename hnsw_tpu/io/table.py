@@ -47,22 +47,70 @@ def _atomic_write(path: str, write_fn) -> None:
         raise
 
 
+def key_to_json(k: Any) -> Any:
+    """Tagged, injective, code-exec-safe key encoding.
+
+    Every key type gets an explicit tag so round-trips preserve identity
+    exactly (a string key "1" stays a string; tuple keys stay hashable
+    tuples). Mirrors the exhaustive-but-safe spirit of the reference's
+    key coercion matrix (parquet/key_utils.go:42-235) without sniffing.
+    """
+    if isinstance(k, bool):
+        return ["b", bool(k)]
+    if isinstance(k, (int, np.integer)):
+        return ["i", int(k)]
+    if isinstance(k, (float, np.floating)):
+        return ["f", float(k)]
+    if isinstance(k, str):
+        return ["s", k]
+    if isinstance(k, bytes):
+        return ["y", k.hex()]
+    if isinstance(k, tuple):
+        return ["t", [key_to_json(x) for x in k]]
+    raise TypeError(
+        f"unsupported key type {type(k).__name__}; keys must be "
+        f"int/str/float/bool/bytes or tuples thereof")
+
+
+def key_from_json(j: Any) -> Any:
+    tag, payload = j[0], (j[1] if len(j) > 1 else None)
+    if tag == "b":
+        return bool(payload)
+    if tag == "i":
+        return int(payload)
+    if tag == "f":
+        return float(payload)
+    if tag == "s":
+        return payload
+    if tag == "y":
+        return bytes.fromhex(payload)
+    if tag == "t":
+        return tuple(key_from_json(x) for x in payload)
+    raise ValueError(f"unknown key tag {tag!r}")
+
+
 def encode_keys(keys: Sequence[Any]) -> Tuple[list, str]:
-    """-> (encoded list, key_kind). int64 when all ints, else json."""
-    if all(isinstance(k, (int, np.integer)) for k in keys):
+    """-> (encoded list, key_kind). int64 fast path when all keys are
+    ints (and none are bools); otherwise tagged-JSON strings ("json")."""
+    if all(isinstance(k, (int, np.integer)) and not isinstance(k, bool)
+           for k in keys):
         return [int(k) for k in keys], "int64"
-    return [json.dumps(k) if not isinstance(k, str) else k
-            for k in keys], "str"
+    return [json.dumps(key_to_json(k)) for k in keys], "json"
 
 
 def decode_keys(vals: Sequence[Any], kind: str) -> List[Any]:
     if kind == "int64":
         return [int(v) for v in vals]
+    if kind == "json":
+        return [key_from_json(json.loads(v)) for v in vals]
+    # legacy kind "str" (round-1 files): best-effort heuristic decode
     out = []
     for v in vals:
         if isinstance(v, str) and v[:1] in "[{0123456789-\"tfn":
             try:
-                out.append(json.loads(v))
+                decoded = json.loads(v)
+                out.append(tuple(decoded) if isinstance(decoded, list)
+                           else decoded)
                 continue
             except (json.JSONDecodeError, ValueError):
                 pass
@@ -77,9 +125,9 @@ def write_vectors(path: str, keys: Sequence[Any], vectors: np.ndarray,
     enc, kind = encode_keys(keys)
     if fmt == "npz":
         _atomic_write(path, lambda p: np.savez_compressed(
-            open(p, "wb"), keys=np.asarray(enc, dtype=object if kind == "str"
-                                           else np.int64).astype(
-                "U" if kind == "str" else np.int64),
+            open(p, "wb"),
+            keys=(np.asarray(enc, np.int64) if kind == "int64"
+                  else np.asarray(enc, dtype=object).astype("U")),
             vectors=vectors, key_kind=np.str_(kind)))
         return
     if not HAVE_ARROW:  # pragma: no cover
@@ -109,8 +157,8 @@ def read_vectors(path: str, fmt: str) -> Tuple[List[Any], np.ndarray]:
     if fmt == "npz":
         with np.load(path, allow_pickle=False) as z:
             kind = str(z["key_kind"])
-            keys = decode_keys([str(x) for x in z["keys"]] if kind == "str"
-                               else z["keys"].tolist(), kind)
+            keys = decode_keys(z["keys"].tolist() if kind == "int64"
+                               else [str(x) for x in z["keys"]], kind)
             return keys, z["vectors"]
     if not HAVE_ARROW:  # pragma: no cover
         raise RuntimeError("pyarrow unavailable; use fmt='npz'")
@@ -138,8 +186,9 @@ def write_edges(path: str, layer_ids: np.ndarray, keys: Sequence[Any],
                 compression: str = "snappy") -> None:
     """neighbors table (layer_id, key, neighbor_key)
     (parquet/storage.go:127-168)."""
-    enc_k, kind = encode_keys(keys)
-    enc_n, _ = encode_keys(neighbor_keys)
+    # encode jointly so both columns share one key_kind
+    both, kind = encode_keys(list(keys) + list(neighbor_keys))
+    enc_k, enc_n = both[:len(keys)], both[len(keys):]
     if fmt == "npz":
         _atomic_write(path, lambda p: np.savez_compressed(
             open(p, "wb"), layer_ids=np.asarray(layer_ids, np.int32),
@@ -170,11 +219,11 @@ def read_edges(path: str, fmt: str
         with np.load(path, allow_pickle=False) as z:
             kind = str(z["key_kind"])
             keys = decode_keys(
-                [str(x) for x in z["keys"]] if kind == "str"
-                else z["keys"].tolist(), kind)
+                z["keys"].tolist() if kind == "int64"
+                else [str(x) for x in z["keys"]], kind)
             nbrs = decode_keys(
-                [str(x) for x in z["neighbor_keys"]] if kind == "str"
-                else z["neighbor_keys"].tolist(), kind)
+                z["neighbor_keys"].tolist() if kind == "int64"
+                else [str(x) for x in z["neighbor_keys"]], kind)
             return z["layer_ids"], keys, nbrs
     if fmt == "parquet":
         table = pq.read_table(path)

@@ -214,3 +214,20 @@ def test_hybrid_readd_does_not_inflate_count():
     assert len(h) == 30
     h.add(5, v[5])
     assert len(h) == 30
+
+
+def test_hybrid_duplicate_keys_in_batch_counted_once():
+    # regression: duplicate keys within one batch_add are one stored
+    # vector; stats.total_vectors must not inflate
+    from hnsw_tpu.index.hybrid import HybridIndex
+    v = make_vectors(4, 8, seed=90)
+    h = HybridIndex(exact_threshold=1000)
+    h.batch_add(["a", "b", "a"], v[:3])
+    assert len(h) == 2
+    assert h.stats.total_vectors == 2
+    # last write wins
+    res = h.search(v[2], 1)
+    assert res[0][0] == "a" and res[0][1] < 1e-5
+    # re-adding existing keys stays flat
+    h.batch_add(["a", "b"], v[2:4])
+    assert h.stats.total_vectors == 2

@@ -155,6 +155,108 @@ def test_disk_graph_stats_and_compact(tmp_path):
     assert s["wal_log_files"] == 0
 
 
+def test_disk_graph_wal_value_update_survives_reopen(tmp_path):
+    # regression: a flushed UPDATE to an existing key (same key set,
+    # new vector values) must not be discarded on reopen — and the WAL
+    # logs must never be deleted before the new state is persisted
+    d = str(tmp_path / "dg")
+    v = make_vectors(30, 8, seed=81)
+    g = DiskGraph(d, fmt="npz")
+    g.batch_add(list(range(30)), v)
+    g.save()
+    new_vec = -v[5]
+    g.graph.add(5, new_vec)
+    g.wal.record_add(5, new_vec)
+    g.wal.flush()
+    # simulate crash (no close/compact); reopen must see the update
+    g2 = DiskGraph(d, fmt="npz")
+    got = g2.graph.lookup(5)
+    np.testing.assert_allclose(got, new_vec)
+    # and a second reopen (logs now compacted away) must still see it
+    g2.close()
+    g3 = DiskGraph(d, fmt="npz")
+    np.testing.assert_allclose(g3.graph.lookup(5), new_vec)
+
+
+@pytest.mark.parametrize("fmt", FMTS)
+def test_key_identity_round_trip(fmt, tmp_path):
+    # regression: string "1" must stay a string; tuple keys must come
+    # back as hashable tuples; ints stay ints
+    keys = ["1", 2, ("a", 3), "plain", b"\x00\xff", 2.5]
+    v = make_vectors(len(keys), 4, seed=82)
+    p = str(tmp_path / f"v.{T.ext_for(fmt)}")
+    T.write_vectors(p, keys, v, fmt)
+    got, _ = T.read_vectors(p, fmt)
+    assert got == keys
+    assert [type(k) for k in got] == [type(k) for k in keys]
+    # edges too
+    pe = str(tmp_path / f"e.{T.ext_for(fmt)}")
+    T.write_edges(pe, np.array([0, 0]), ["1", ("a", 3)], [2, "1"], fmt)
+    _, ek, en = T.read_edges(pe, fmt)
+    assert ek == ["1", ("a", 3)] and en == [2, "1"]
+
+
+def test_disk_graph_mixed_key_types_reopen(tmp_path):
+    d = str(tmp_path / "dg")
+    v = make_vectors(20, 8, seed=83)
+    keys = [("t", i) if i % 3 == 0 else (str(i) if i % 3 == 1 else i)
+            for i in range(20)]
+    g = DiskGraph(d, fmt="npz")
+    g.batch_add(keys, v)
+    g.close()
+    g2 = DiskGraph(d, fmt="npz")
+    assert len(g2) == 20
+    for i, k in enumerate(keys):
+        got = g2.graph.lookup(k)
+        assert got is not None, f"key {k!r} lost on reopen"
+        np.testing.assert_allclose(got, v[i], rtol=1e-6)
+
+
+def test_checkpoint_is_pickle_free(tmp_path):
+    # the checkpoint codec must not execute code on load (no pickle)
+    import pickletools
+
+    from hnsw_tpu.io.codec import load_graph, save_graph
+    v = make_vectors(25, 8, seed=84)
+    g = Graph(seed=0)
+    keys = [("k", i) if i % 2 else str(i) for i in range(25)]
+    g.batch_add(keys, v)
+    p = str(tmp_path / "g.npz")
+    save_graph(g, p)
+    g2 = load_graph(p)  # must work WITHOUT allow_pickle
+    assert sorted(map(repr, g2.keys())) == sorted(map(repr, keys))
+    res = g2.search(v[7], 1)
+    assert res[0][0] == keys[7]
+
+
+def test_wal_age_based_background_flush(tmp_path):
+    # buffered changes must hit disk on age with NO further mutations
+    from hnsw_tpu.config import StoreConfig
+    d = str(tmp_path / "dg")
+    g = DiskGraph(d, store_config=StoreConfig(
+        directory=d, format="npz", wal_flush_interval_seconds=0.2,
+        wal_max_changes=1000))
+    v = make_vectors(3, 4, seed=85)
+    g.add(0, v[0])
+    assert g.wal.pending  # buffered, not yet durable
+    import time as _t
+    deadline = _t.time() + 10
+    while g.wal.pending and _t.time() < deadline:
+        _t.sleep(0.05)
+    assert not g.wal.pending and g.wal.num_log_files == 1
+    g.close()
+
+
+def test_wal_sync_writes_mode(tmp_path):
+    w = IncrementalStore(str(tmp_path), fmt="npz", max_changes=1000,
+                         sync_writes=True)
+    v = make_vectors(2, 4, seed=86)
+    w.record_add("a", v[0])
+    assert not w.pending and w.num_log_files == 1
+    w.record_delete("a")
+    assert w.num_log_files == 2
+
+
 # ----------------------------------------------------------------- appender
 
 def test_appender_stream():
