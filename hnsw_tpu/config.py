@@ -19,12 +19,21 @@ METRICS = ("cosine", "l2", "euclidean", "sqeuclidean", "dot")
 
 
 def canonical_metric(name: str) -> str:
+    """Canonicalize a builtin metric name, or pass through a registered
+    custom distance name (reference: pluggable DistanceFunc,
+    distance.go:12 + RegisterDistanceFunc distance.go:44)."""
     n = name.lower()
     if n == "euclidean":
         return "l2"
-    if n not in METRICS:
-        raise ValueError(f"unknown metric {name!r}; supported: {METRICS}")
-    return n
+    if n in METRICS:
+        return n
+    # registered custom metric? (deferred import: ops.distance imports us)
+    from hnsw_tpu.ops.distance import registered
+    if registered(name) is not None:
+        return name
+    raise ValueError(
+        f"unknown metric {name!r}; supported: {METRICS} or a name "
+        f"registered via hnsw_tpu.register_distance()")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,6 +47,13 @@ def _row_dist_dense(vectors, sq, anchors, others, metric):
     safe_o = jnp.clip(others, 0, vectors.shape[0] - 1)
     va = vectors[safe_a].astype(jnp.float32)
     vo = vectors[safe_o].astype(jnp.float32)
+    from hnsw_tpu.ops.distance import _custom_pairwise_jax, registered
+    spec = registered(metric)
+    if spec is not None:
+        pw = _custom_pairwise_jax(metric, spec)
+        d = jax.vmap(lambda a, o: pw(a[None, :], o)[0])(va, vo)
+        return jnp.where((others >= 0) & (anchors[:, None] >= 0), d,
+                         INF_DIST)
     ab = jnp.einsum("ud,ukd->uk", va, vo)
     if metric == "dot":
         d = -ab

@@ -93,6 +93,9 @@ class HostGraph:
             return np.sqrt(np.maximum(q_sq + sq - 2.0 * qv, 0.0))
         if self.metric == "dot":
             return -qv
+        from hnsw_tpu.ops.distance import np_pairwise_dist, registered
+        if registered(self.metric) is not None:
+            return np_pairwise_dist(vec[None], v, self.metric)[0]
         raise ValueError(self.metric)
 
     # -- level sampling (graph.go:388-417) ----------------------------------

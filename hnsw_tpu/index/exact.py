@@ -110,6 +110,8 @@ class ExactIndex:
         # 100k x 128: the score matrix never reaches HBM); XLA HIGHEST
         # stays the ground-truth path at small N / large k / CPU.
         use_fused = (v.shape[0] >= 32768 and k <= 32
+                     and self.metric in ("cosine", "l2", "sqeuclidean",
+                                         "dot")
                      and jax.devices()[0].platform == "tpu")
         if use_fused:
             from hnsw_tpu.ops.pallas_exact import exact_topk_fused

@@ -105,8 +105,8 @@ def insert_batch(host, slots: np.ndarray, slot_levels: np.ndarray) -> bool:
     have ensured capacity for max(slot_levels) layers and all slots, and
     stored the vectors. Updates host.entry/top/count."""
     lib = get_lib()
-    if lib is None:
-        return False
+    if lib is None or host.metric not in _METRIC_CODE:
+        return False  # custom metrics take the Python path
     # vectors/levels arrays must cover cap rows
     host.store.ensure_capacity(host.neighbors.shape[1])
     common, cap = _common_args(host)
@@ -132,8 +132,8 @@ def insert_batch(host, slots: np.ndarray, slot_levels: np.ndarray) -> bool:
 
 def delete_batch(host, slots: np.ndarray) -> bool:
     lib = get_lib()
-    if lib is None:
-        return False
+    if lib is None or host.metric not in _METRIC_CODE:
+        return False  # custom metrics take the Python path
     host.store.ensure_capacity(host.neighbors.shape[1])
     common, cap = _common_args(host)
     slots = np.ascontiguousarray(slots, np.int64)
@@ -155,7 +155,7 @@ def delete_batch(host, slots: np.ndarray) -> bool:
 def search_batch(host, queries: np.ndarray, k: int, ef: int):
     """Native CPU batch search -> (dists [Q,k], slot ids [Q,k])."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or host.metric not in _METRIC_CODE:
         return None
     host.store.ensure_capacity(host.neighbors.shape[1])
     common, cap = _common_args(host)

@@ -82,6 +82,9 @@ def pairwise_dist(queries: jnp.ndarray, vectors: jnp.ndarray,
     metric = canonical_metric(metric)
     qf = queries.astype(jnp.float32)
     vf = vectors.astype(jnp.float32)
+    spec = _registry.get(metric)
+    if spec is not None:
+        return _custom_pairwise_jax(metric, spec)(qf, vf)
     if q_sq is None:
         q_sq = sq_norms(qf)
     if v_sq is None:
@@ -114,6 +117,10 @@ def gathered_dist(queries: jnp.ndarray, cand_vecs: jnp.ndarray,
     metric = canonical_metric(metric)
     qf = queries.astype(jnp.float32)
     cf = cand_vecs.astype(jnp.float32)
+    spec = _registry.get(metric)
+    if spec is not None:
+        pw = _custom_pairwise_jax(metric, spec)
+        return jax.vmap(lambda qq, cc: pw(qq[None, :], cc)[0])(qf, cf)
     qv = jnp.einsum("bd,bcd->bc", qf, cf, precision=precision)
     if metric == "cosine":
         denom = jax.lax.rsqrt(q_sq[:, None] * cand_sq + _EPS)
@@ -133,6 +140,9 @@ def point_dist(a, b, metric: str = "cosine") -> float:
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
     metric = canonical_metric(metric)
+    spec = _registry.get(metric)
+    if spec is not None:
+        return float(spec["point"](a, b))
     ab = float(np.dot(a, b))
     if metric == "cosine":
         na = float(np.dot(a, a))
@@ -153,6 +163,12 @@ def np_pairwise_dist(queries: np.ndarray, vectors: np.ndarray,
     metric = canonical_metric(metric)
     q = np.asarray(queries, np.float32)
     v = np.asarray(vectors, np.float32)
+    spec = _registry.get(metric)
+    if spec is not None:
+        if spec["pairwise"] is not None:
+            return np.asarray(spec["pairwise"](q, v), np.float32)
+        return np.array([[spec["point"](qq, vv) for vv in v] for qq in q],
+                        np.float32)
     qv = q @ v.T
     if metric == "dot":
         return -qv
@@ -179,15 +195,38 @@ def np_pairwise_dist(queries: np.ndarray, vectors: np.ndarray,
 _registry: Dict[str, dict] = {}
 
 
+def _custom_pairwise_jax(name: str, spec: dict) -> Callable:
+    """The JAX pairwise fn of a registered metric, or a clear error.
+
+    Device paths (Graph search/build, ExactIndex) trace the distance
+    under jit, so a host-only point_fn cannot serve them."""
+    pw = spec.get("pairwise")
+    if pw is None:
+        raise ValueError(
+            f"custom metric {name!r} was registered without a JAX "
+            f"pairwise_fn; device search/build requires one — "
+            f"register_distance({name!r}, point_fn, pairwise_fn=...)")
+    return pw
+
+
 def register_distance(name: str,
                       point_fn: Callable[[np.ndarray, np.ndarray], float],
                       pairwise_fn: Optional[Callable] = None) -> None:
-    """Register a custom distance under ``name`` for checkpoint round-trips.
+    """Register a custom distance under ``name`` (reference:
+    RegisterDistanceFunc, distance.go:44). The name becomes a valid
+    ``metric=`` everywhere a builtin is (Graph, ExactIndex, checkpoint
+    round-trips).
 
-    ``point_fn(a, b) -> float`` is required; ``pairwise_fn(Q, V) -> [Q,N]``
-    (JAX) is optional — if omitted, pairwise falls back to a vmap of
-    point_fn via pure_callback only on host paths.
+    ``point_fn(a, b) -> float`` is required (host oracle).
+    ``pairwise_fn(Q [Q,D], V [N,D]) -> [Q,N]`` must be JAX-traceable and
+    is required for any device path (Graph search/build, ExactIndex) —
+    without it only host-side helpers work. Larger = farther; returned
+    distances must stay finite and below ~3e38 (INF_DIST is the masked
+    sentinel).
     """
+    from hnsw_tpu.config import METRICS
+    if name.lower() in METRICS or name.lower() == "euclidean":
+        raise ValueError(f"cannot override builtin metric {name!r}")
     _registry[name] = {"point": point_fn, "pairwise": pairwise_fn}
 
 
