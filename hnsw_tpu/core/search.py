@@ -171,16 +171,24 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric", "max_hops", "fast_math",
-                     "expand"))
+                     "expand", "ef_upper"))
 def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                  metric: str = "cosine", max_hops: int = 128,
-                 fast_math: bool = False, expand: int = 1
+                 fast_math: bool = False, expand: int = 1,
+                 ef_upper: int = 0
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full hierarchical search for a batch of queries.
 
-    Mirrors Graph.Search's descent (graph.go:571-593): ef-beam with
+    Mirrors Graph.Search's descent (graph.go:571-593): narrow beam with
     result width 1 on upper layers ("elevator"), full (ef, k) beam at
     layer 0. Returns (dists [B, k], slot ids [B, k]); -1 = no result.
+
+    ``ef_upper`` is the upper-layer beam width. The reference keeps an
+    efSearch-wide candidate heap even above layer 0 (graph.go:578-585);
+    in lockstep-batched form that multiplies the whole search cost by
+    the layer count, so the default (0 -> a narrow 8-wide pool, the
+    classic hnswlib choice) descends cheaply — upper layers only pick
+    the entry point. Pass ef_upper=ef for reference-faithful behavior.
 
     ``fast_math`` drops per-hop einsums to DEFAULT matmul precision
     (bf16 inputs on MXU) — fine for traversal ordering; final layer-0
@@ -194,17 +202,19 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
     q_sq = jnp.sum(queries * queries, axis=-1)
     L = g.num_layers
     P0 = max(ef, k)
+    P_up = ef_upper if ef_upper > 0 else min(8, P0)
 
     entry_ids = jnp.broadcast_to(g.entry, (B,)).astype(jnp.int32)
     entry_d = _entry_dist(g, queries, q_sq, entry_ids, metric, precision)
 
-    # Upper layers: beam of ef, take the best as next layer's entry
+    # Upper layers: narrow beam, take the best as next layer's entry
     # (reference search(1, efSearch) + elevator, graph.go:578-585).
     for layer in range(L - 1, 0, -1):
         pd, pi = beam_search_layer(g, layer, queries, q_sq, entry_ids,
-                                   entry_d, pool_size=ef, max_hops=max_hops,
+                                   entry_d, pool_size=P_up,
+                                   max_hops=max_hops,
                                    metric=metric, precision=precision,
-                                   expand=expand)
+                                   expand=min(expand, P_up))
         best_i, best_d = pi[:, 0], pd[:, 0]
         keep = best_i >= 0
         entry_ids = jnp.where(keep, best_i, entry_ids)

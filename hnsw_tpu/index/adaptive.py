@@ -235,9 +235,82 @@ class AdaptiveHybridIndex:
             self._warmed.add(strat)
         return res
 
+    def _run_batch(self, strategy: str, queries: np.ndarray, k: int
+                   ) -> List[List[Tuple[Any, float]]]:
+        """One batched device sweep for a whole strategy group."""
+        if strategy == "exact":
+            keys, dists = self.exact.batch_search(queries, k)
+        elif strategy == "lsh":
+            keys, dists = self.lsh.batch_search(queries, k)
+        elif strategy == "hybrid":
+            lk, ld = self.lsh.batch_search(queries, k)
+            gk, gd = self.graph.batch_search(queries, k)
+            out = []
+            for qi in range(len(queries)):
+                merged = {kk: dd for kk, dd in zip(lk[qi], ld[qi])
+                          if kk is not None}
+                for kk, dd in zip(gk[qi], gd[qi]):
+                    if kk is not None:
+                        merged.setdefault(kk, dd)
+                out.append(sorted(merged.items(), key=lambda r: r[1])[:k])
+            return out
+        else:
+            keys, dists = self.graph.batch_search(queries, k)
+        return [[(kk, float(dd)) for kk, dd in zip(keys[qi], dists[qi])
+                 if kk is not None] for qi in range(len(queries))]
+
     def batch_search(self, queries, k: int) -> List[List[Tuple[Any, float]]]:
-        return [self.search(q, k) for q in np.atleast_2d(
-            np.asarray(queries, np.float32))]
+        """Batched adaptive dispatch: select a strategy per query, GROUP
+        queries by strategy, then one batched device sweep per group —
+        the TPU-native shape of adaptive_hybrid.go:132's per-query
+        dispatch (a per-query host loop would pay a device round-trip
+        per query)."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        B = queries.shape[0]
+        dim = self._dim or queries.shape[1]
+        groups: Dict[str, List[int]] = {}
+        for qi in range(B):
+            s = self.selector.select_strategy(queries[qi], len(self), dim)
+            groups.setdefault(s, []).append(qi)
+        out: List[Optional[List[Tuple[Any, float]]]] = [None] * B
+        want = min(k, len(self))
+        for strat, idxs in groups.items():
+            qs = queries[idxs]
+            t0 = time.perf_counter()
+            success = True
+            try:
+                results = self._run_batch(strat, qs, k)
+            except Exception:
+                success = False
+                results = self._run_batch("exact", qs, k)
+            dt = (time.perf_counter() - t0) / max(len(idxs), 1)
+            # fallback chain for shortfall rows (adaptive_hybrid.go:
+            # 145-233), still batched per fallback strategy
+            short = [j for j, r in enumerate(results) if len(r) < want]
+            if short and success:
+                for fb in ("hnsw", "lsh", "exact"):
+                    if fb == strat or not short:
+                        continue
+                    fb_res = self._run_batch(fb, qs[short], k)
+                    still = []
+                    for pos, r in zip(short, fb_res):
+                        if len(r) >= want:
+                            results[pos] = r
+                        else:
+                            still.append(pos)
+                    short = still
+            for j, qi in enumerate(idxs):
+                out[qi] = results[j]
+            if strat in self._warmed:
+                for r in results:
+                    self.selector.record(QueryMetrics(
+                        strategy=strat, duration_s=dt,
+                        result_count=len(r), success=success,
+                        distance_stats=DistanceStats.from_distances(
+                            [d for _, d in r])))
+            else:
+                self._warmed.add(strat)
+        return out  # type: ignore[return-value]
 
     def get_stats(self) -> Dict[str, Any]:
         return self.selector.get_stats()
