@@ -313,7 +313,8 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     host.levels[:ncap] = np.asarray(levels_dev[:ncap])
 
 
-def refine_device(host: host_build.HostGraph, *, wave: int = 2048) -> None:
+def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
+                  slots=None) -> None:
     """Second-pass graph refinement.
 
     Re-runs the construction descent for every node against the FINAL
@@ -322,11 +323,20 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048) -> None:
     refinement pass re-chooses them with full information — the standard
     quality-recovery step for batched builders. Device-resident; host
     arrays synced once at the end.
+
+    ``slots`` scopes the pass to a subset of nodes — the post-delete
+    repair path (VERDICT: replenish alone leaves delete-heavy recall
+    degraded; re-running the descent for the affected neighborhoods
+    restores it, mirroring graph.go:172-219's quality intent).
     """
     cfg = host.cfg
     metric = canonical_metric(host.metric)
     store = host.store
-    alive_slots = np.flatnonzero(host.levels >= 0)
+    if slots is None:
+        alive_slots = np.flatnonzero(host.levels >= 0)
+    else:
+        slots = np.unique(np.asarray(slots, np.int64))
+        alive_slots = slots[host.levels[slots] >= 0]
     if len(alive_slots) == 0:
         return
     ncap = host.neighbors.shape[1]

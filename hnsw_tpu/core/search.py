@@ -117,30 +117,33 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
         nbrs = neigh[cur_safe].reshape(B, E * M)             # [B, E*M]
         nb_ok = (nbrs >= 0) & jnp.repeat(take, M, axis=1)
         nb_safe = jnp.clip(jnp.where(nb_ok, nbrs, 0), 0, cap - 1)
-        # Visit/dedup sequentially per expanded entry (E is small): a
-        # node surfacing under several expansions this hop is evaluated
-        # once; ids within one neighbor row are unique by construction.
-        masks = []
-        for e in range(E):
-            sl = slice(e * M, (e + 1) * M)
-            nb_e = nb_safe[:, sl]
-            ok_e = nb_ok[:, sl]
-            if use_hash:
-                slot_e = nb_e % S
-                seen_e = visited[rows[:, None], slot_e] == nb_e
-                masks.append(ok_e & (~seen_e) & g.alive[nb_e])
-                visited = visited.at[rows[:, None], slot_e].set(
-                    jnp.where(ok_e, nb_e,
-                              visited[rows[:, None], slot_e]))
-            else:
-                seen_e = visited[rows[:, None], nb_e]
-                masks.append(ok_e & (~seen_e) & g.alive[nb_e])
-                visited = visited.at[rows[:, None], nb_e].max(ok_e)
-        eval_mask = jnp.concatenate(masks, axis=1)
+        # Intra-hop dedup WITHOUT a serialized per-expansion loop (the
+        # 2E-deep scatter/gather chain dominated hop time): sort ids per
+        # row, mark repeats, scatter the mark back. One visited gather +
+        # one visited scatter per hop regardless of E.
+        nbrs_m = jnp.where(nb_ok, nbrs, -1)
+        order = jnp.argsort(nbrs_m, axis=1)
+        sorted_ids = jnp.take_along_axis(nbrs_m, order, axis=1)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((B, 1), bool),
+             (sorted_ids[:, 1:] == sorted_ids[:, :-1])
+             & (sorted_ids[:, 1:] >= 0)], axis=1)
+        dup = jnp.zeros((B, E * M), bool).at[rows[:, None], order].set(
+            dup_sorted)
         if use_hash:
+            slot = nb_safe % S
+            old = visited[rows[:, None], slot]
+            seen = old == nbrs
+            eval_mask = nb_ok & (~seen) & (~dup) & g.alive[nb_safe]
+            visited = visited.at[rows[:, None], slot].set(
+                jnp.where(nb_ok, nbrs, old))
             # collisions may resurface pool members: explicit dedup
             in_pool = (nbrs[:, :, None] == pool_i[:, None, :]).any(-1)
             eval_mask = eval_mask & (~in_pool)
+        else:
+            seen = visited[rows[:, None], nb_safe]
+            eval_mask = nb_ok & (~seen) & (~dup) & g.alive[nb_safe]
+            visited = visited.at[rows[:, None], nb_safe].max(nb_ok)
 
         cand_vecs = g.vectors[nb_safe]                      # [B, E*M, D]
         cand_sq = g.sq_norms[nb_safe]

@@ -138,12 +138,13 @@ class Graph:
             bulk_insert_device(self.host, slot_list, wave=wave)
         self._dirty = True
 
-    def refine(self, wave: int = 2048) -> None:
+    def refine(self, wave: int = 2048, slots=None) -> None:
         """Second-pass edge refinement against the final graph —
         recovers the recall that batched wave construction loses on
-        early nodes (core/build_device.refine_device)."""
+        early nodes (core/build_device.refine_device). ``slots`` scopes
+        the pass (post-delete repair)."""
         from hnsw_tpu.core.build_device import refine_device
-        refine_device(self.host, wave=wave)
+        refine_device(self.host, wave=wave, slots=slots)
         self._dirty = True
 
     def delete(self, key: Hashable) -> bool:
@@ -158,9 +159,15 @@ class Graph:
         self._dirty = True
         return True
 
-    def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
+    def batch_delete(self, keys: Sequence[Hashable],
+                     refine: bool = False) -> List[bool]:
         """graph.go:869 BatchDelete: per-key success flags; one
-        vectorized in-edge sweep + repair pass for the whole batch."""
+        vectorized in-edge sweep + repair pass for the whole batch.
+
+        ``refine=True`` additionally re-runs the construction descent
+        for the neighborhoods the deletes touched (in-edge owners),
+        recovering the recall that replenish-only repair loses on
+        delete-heavy workloads."""
         oks, slots = [], []
         for k in keys:
             s = self.slots.slot_of(k)
@@ -172,8 +179,17 @@ class Graph:
             self.store.kill(s)
             self.slots.release(k)
         if slots:
+            affected = None
+            if refine:
+                dslots = np.asarray(slots, np.int64)
+                touched = np.isin(self.host.neighbors, dslots).any(
+                    axis=(0, 2))
+                touched[dslots[dslots < len(touched)]] = False
+                affected = np.flatnonzero(touched)
             self.host.delete_many(slots)
             self._dirty = True
+            if refine and affected is not None and len(affected):
+                self.refine(slots=affected)
         return oks
 
     def lookup(self, key: Hashable) -> Optional[np.ndarray]:

@@ -109,3 +109,47 @@ def test_refine_preserves_and_improves():
     r1 = _recall(keys1, gt, 10)
     assert r1 >= r0 - 0.02  # never materially worse
     assert g.search(v[11], 1)[0][0] == 11
+
+
+def test_scoped_refine_recovers_post_delete_recall():
+    """VERDICT item 7: delete-heavy workloads degrade recall under
+    replenish-only repair; scoped refinement of affected neighborhoods
+    recovers it (>= 0.95 of pre-delete recall)."""
+    import numpy as np
+    from hnsw_tpu import Graph
+    from hnsw_tpu.ops.topk import np_exact_topk
+    from tests.conftest import make_vectors
+
+    n, d, k, ef = 1200, 32, 10, 96
+    v = make_vectors(n, d, seed=93)
+    q = make_vectors(64, d, seed=94)
+
+    def recall(g, keep_mask):
+        keys, _ = g.batch_search(q, k, ef=ef)
+        live = np.flatnonzero(keep_mask)
+        gt_d, gt_li = np_exact_topk(q, v[live], k, "cosine")
+        gt = live[gt_li]
+        hits = sum(len({kk for kk in keys[i] if kk is not None}
+                       & set(map(int, gt[i]))) for i in range(len(q)))
+        return hits / (len(q) * k)
+
+    rng = np.random.default_rng(7)
+    doomed = rng.choice(n, n // 4, replace=False)
+    keep = np.ones(n, bool)
+    keep[doomed] = False
+
+    # replenish-only
+    g1 = Graph(seed=0, ef_construction=100)
+    g1.build(list(range(n)), v, method="device", wave=512)
+    pre = recall(g1, np.ones(n, bool))
+    g1.batch_delete([int(s) for s in doomed])
+    post_plain = recall(g1, keep)
+
+    # scoped refine
+    g2 = Graph(seed=0, ef_construction=100)
+    g2.build(list(range(n)), v, method="device", wave=512)
+    g2.batch_delete([int(s) for s in doomed], refine=True)
+    post_refined = recall(g2, keep)
+
+    assert post_refined >= post_plain - 0.02, (post_plain, post_refined)
+    assert post_refined >= 0.95 * pre, (pre, post_plain, post_refined)
