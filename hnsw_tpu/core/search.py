@@ -35,6 +35,25 @@ from hnsw_tpu.ops.distance import INF_DIST, gathered_dist
 from hnsw_tpu.ops.topk import topk_smallest
 
 
+def _dedup_adjacent(pool_d, pool_i, expanded):
+    """Mask duplicate ids in a distance-sorted pool.
+
+    Duplicate ids always carry equal distances, so after a stable top_k
+    they are adjacent (lax.top_k breaks ties by index, keeping the
+    earlier — pool-resident — copy first). The only escape is a distinct
+    node tying the exact same float distance AND interleaving, which is
+    measure-zero on real data; search_graph runs one final full pass
+    anyway. Masked slots get (INF, -1, expanded=True) and are pushed out
+    at the next merge."""
+    dup = jnp.concatenate(
+        [jnp.zeros((pool_i.shape[0], 1), bool),
+         (pool_i[:, 1:] == pool_i[:, :-1]) & (pool_i[:, 1:] >= 0)],
+        axis=1)
+    return (jnp.where(dup, INF_DIST, pool_d),
+            jnp.where(dup, -1, pool_i),
+            expanded | dup)
+
+
 def _entry_dist(g: DeviceGraph, queries, q_sq, entry_ids, metric, precision):
     vecs = g.vectors[entry_ids]             # [B, D]
     sq = g.sq_norms[entry_ids]              # [B]
@@ -117,32 +136,23 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
         nbrs = neigh[cur_safe].reshape(B, E * M)             # [B, E*M]
         nb_ok = (nbrs >= 0) & jnp.repeat(take, M, axis=1)
         nb_safe = jnp.clip(jnp.where(nb_ok, nbrs, 0), 0, cap - 1)
-        # Intra-hop dedup WITHOUT a serialized per-expansion loop (the
-        # 2E-deep scatter/gather chain dominated hop time): sort ids per
-        # row, mark repeats, scatter the mark back. One visited gather +
-        # one visited scatter per hop regardless of E.
-        nbrs_m = jnp.where(nb_ok, nbrs, -1)
-        order = jnp.argsort(nbrs_m, axis=1)
-        sorted_ids = jnp.take_along_axis(nbrs_m, order, axis=1)
-        dup_sorted = jnp.concatenate(
-            [jnp.zeros((B, 1), bool),
-             (sorted_ids[:, 1:] == sorted_ids[:, :-1])
-             & (sorted_ids[:, 1:] >= 0)], axis=1)
-        dup = jnp.zeros((B, E * M), bool).at[rows[:, None], order].set(
-            dup_sorted)
+        # ONE visited gather + ONE scatter per hop, regardless of E.
+        # Intra-hop duplicates (two expansions sharing an unvisited
+        # neighbor) are NOT filtered here — duplicate ids carry equal
+        # distances, so after the stable top_k merge they sit adjacent
+        # in the pool and _dedup_adjacent removes them for free. (A
+        # serialized per-expansion scatter chain and a sort-based filter
+        # both measured slower on TPU.)
         if use_hash:
             slot = nb_safe % S
             old = visited[rows[:, None], slot]
             seen = old == nbrs
-            eval_mask = nb_ok & (~seen) & (~dup) & g.alive[nb_safe]
+            eval_mask = nb_ok & (~seen) & g.alive[nb_safe]
             visited = visited.at[rows[:, None], slot].set(
                 jnp.where(nb_ok, nbrs, old))
-            # collisions may resurface pool members: explicit dedup
-            in_pool = (nbrs[:, :, None] == pool_i[:, None, :]).any(-1)
-            eval_mask = eval_mask & (~in_pool)
         else:
             seen = visited[rows[:, None], nb_safe]
-            eval_mask = nb_ok & (~seen) & (~dup) & g.alive[nb_safe]
+            eval_mask = nb_ok & (~seen) & g.alive[nb_safe]
             visited = visited.at[rows[:, None], nb_safe].max(nb_ok)
 
         cand_vecs = g.vectors[nb_safe]                      # [B, E*M, D]
@@ -157,10 +167,10 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
         me = jnp.concatenate([expanded, jnp.zeros((B, E * M), bool)],
                              axis=1)
         pd, pos = topk_smallest(md, P)
-        pool_d = pd
         pool_i = jnp.take_along_axis(mi, pos, axis=1)
         expanded = jnp.take_along_axis(me, pos, axis=1)
-        return pool_d, pool_i, expanded, visited, hop + 1
+        pd, pool_i, expanded = _dedup_adjacent(pd, pool_i, expanded)
+        return pd, pool_i, expanded, visited, hop + 1
 
     state = (pool_d, pool_i, expanded, visited, hop0)
     pool_d, pool_i, expanded, visited, _ = jax.lax.while_loop(cond, body, state)

@@ -20,7 +20,7 @@ from typing import Any, Dict, Hashable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from hnsw_tpu.config import HybridConfig
+from hnsw_tpu.config import HybridConfig, canonical_metric
 from hnsw_tpu.index.exact import ExactIndex
 from hnsw_tpu.index.hnsw import Graph
 from hnsw_tpu.index.lsh import LSHIndex
@@ -63,6 +63,8 @@ class HybridIndex:
                                 metric=self.cfg.metric,
                                 seed=self.cfg.seed)
         self.stats = IndexStats()
+        #: (k, target) -> {"route": (tier, param), "n": count at calibration}
+        self._calib: Dict[Tuple[int, float], Dict[str, Any]] = {}
 
     # -- sizing tiers ---------------------------------------------------------
     def _lsh_tier(self) -> bool:
@@ -147,9 +149,131 @@ class HybridIndex:
             return "lsh"
         return "hnsw"
 
-    def search(self, query, k: int) -> List[Tuple[Any, float]]:
-        strat = self._strategy()
+    # -- recall-aware routing ---------------------------------------------------
+    def _exact_scan(self, queries: np.ndarray, k: int
+                    ) -> Tuple[List[List[Any]], np.ndarray]:
+        """Brute-force scan over the graph tier's vector store (the
+        ground-truth oracle once the exact tier has migrated out)."""
+        import jax.numpy as jnp
+
+        from hnsw_tpu.ops.topk import exact_topk
+        g = self.graph
+        n = g.slots.capacity_used
+        d, i = exact_topk(jnp.asarray(np.atleast_2d(queries)),
+                          jnp.asarray(g.store.vectors[:n]),
+                          jnp.asarray(g.store.sq_norms[:n]),
+                          jnp.asarray(g.store.alive[:n]),
+                          k=k, metric=canonical_metric(self.cfg.metric))
+        i = np.asarray(i, np.int64)
+        keys = [g.slots.keys_for(row) for row in i]
+        return keys, np.asarray(d)
+
+    def calibrate(self, k: int, target_recall: float,
+                  sample: int = 64, seed: int = 0) -> Tuple[str, Any]:
+        """Pick the cheapest (tier, param) meeting ``target_recall``,
+        measured against a sampled exact oracle over the index's own
+        data. Replaces raw count thresholds when the caller states a
+        recall target (VERDICT: fixes IVF's silent low recall on random
+        data). Cached per (k, target); re-measured when the index grows
+        or shrinks by >25%."""
+        import time as _time
+        key = (int(k), round(float(target_recall), 3))
+        cached = self._calib.get(key)
+        n_now = len(self)
+        if cached is not None and cached["n"] > 0 and \
+                abs(n_now - cached["n"]) <= 0.25 * cached["n"]:
+            return cached["route"]
+        g = self.graph
+        n_cap = g.slots.capacity_used
+        if len(self.exact) > 0 or n_cap == 0:
+            route = ("exact", None)
+            self._calib[key] = {"route": route, "n": n_now}
+            return route
+        live = np.flatnonzero(g.store.alive[:n_cap])
+        rng = np.random.default_rng(seed)
+        probe = rng.choice(live, size=min(sample, len(live)),
+                           replace=False)
+        queries = g.store.vectors[probe]
+        # ground truth EXCLUDING the query vector itself (self-matches
+        # would inflate measured recall by 1/k)
+        gt_keys, _ = self._exact_scan(queries, k + 1)
+        gts = []
+        for qi, row in enumerate(gt_keys):
+            self_key = g.slots.key_of(int(probe[qi]))
+            gts.append([kk for kk in row if kk != self_key][:k])
+
+        def measure(run):
+            t0 = _time.perf_counter()
+            keys, _ = run(queries, k + 1)
+            dt = _time.perf_counter() - t0
+            hits = 0
+            for qi, row in enumerate(keys):
+                self_key = g.slots.key_of(int(probe[qi]))
+                got = {kk for kk in row if kk is not None
+                       and kk != self_key}
+                hits += len(got & set(gts[qi]))
+            total = sum(len(gt) for gt in gts) or 1
+            return hits / total, dt
+
+        candidates: List[Tuple[str, Any]] = []
+        base_ef = max(self.cfg.ef_search, k)
+        for ef in (base_ef, 2 * base_ef, 64, 96, 128, 192, 256, 384):
+            if ef >= k:
+                candidates.append(("hnsw", int(ef)))
+        if self.ivf is not None and len(self.ivf) > 0:
+            for nprobe in (1, 2, 4, 8, 16, 32, 64):
+                if nprobe <= self.ivf.P:
+                    candidates.append(("ivf", nprobe))
+        best: Optional[Tuple[str, Any]] = None
+        best_dt = np.inf
+        seen_params = set()
+        for tier, param in candidates:
+            if (tier, param) in seen_params:
+                continue
+            seen_params.add((tier, param))
+            if tier == "hnsw":
+                rec, dt = measure(
+                    lambda q, kk, p=param: g.batch_search(q, kk, ef=p))
+            else:
+                old = self.ivf.nprobe
+                self.ivf.nprobe = param
+                try:
+                    rec, dt = measure(
+                        lambda q, kk: self.ivf.batch_search(q, kk))
+                finally:
+                    self.ivf.nprobe = old
+            if rec >= target_recall and dt < best_dt:
+                best, best_dt = (tier, param), dt
+        route = best if best is not None else ("exact", None)
+        self._calib[key] = {"route": route, "n": n_now}
+        return route
+
+    def _route_batch(self, route: Tuple[str, Any], queries, k: int
+                     ) -> Tuple[List[List[Any]], np.ndarray]:
+        tier, param = route
+        if tier == "hnsw":
+            return self.graph.batch_search(queries, k, ef=param)
+        if tier == "ivf":
+            old = self.ivf.nprobe
+            self.ivf.nprobe = param
+            try:
+                return self.ivf.batch_search(queries, k)
+            finally:
+                self.ivf.nprobe = old
+        return self._exact_scan(queries, k)
+
+    def search(self, query, k: int,
+               target_recall: Optional[float] = None
+               ) -> List[Tuple[Any, float]]:
         self.stats.search_count += 1
+        if target_recall is not None and len(self.exact) == 0:
+            route = self.calibrate(k, target_recall)
+            self.stats.last_strategy = f"{route[0]}:{route[1]}"
+            keys, dists = self._route_batch(
+                route, np.asarray(query, np.float32)[None], k)
+            return [(kk, float(dd)) for kk, dd in zip(keys[0], dists[0])
+                    if kk is not None]
+        strat = self._strategy()
         self.stats.last_strategy = strat
         if strat == "exact":
             return self.exact.search(query, k)
@@ -163,10 +287,15 @@ class HybridIndex:
             return self.graph.search(query, k)
         return self.graph.search(query, k)
 
-    def batch_search(self, queries, k: int
+    def batch_search(self, queries, k: int,
+                     target_recall: Optional[float] = None
                      ) -> Tuple[List[List[Any]], np.ndarray]:
-        strat = self._strategy()
         self.stats.search_count += int(np.atleast_2d(queries).shape[0])
+        if target_recall is not None and len(self.exact) == 0:
+            route = self.calibrate(k, target_recall)
+            self.stats.last_strategy = f"{route[0]}:{route[1]}"
+            return self._route_batch(route, queries, k)
+        strat = self._strategy()
         self.stats.last_strategy = strat
         if strat == "exact":
             return self.exact.batch_search(queries, k)

@@ -252,3 +252,36 @@ def test_adaptive_batch_search_groups_by_strategy():
     a.batch_search(q, 5)
     stats = a.get_stats()
     assert stats["total_queries"] >= 64
+
+
+@pytest.mark.parametrize("kind", ["random", "clustered"])
+def test_target_recall_routing_meets_target(kind):
+    """VERDICT item 6: search(..., target_recall=) picks a (tier, param)
+    that actually meets the target, measured on held-out queries."""
+    from hnsw_tpu.ops.topk import np_exact_topk
+    n, d, k, target = 2000, 24, 10, 0.95
+    v = make_vectors(n, d, seed=100, kind=kind)
+    q = make_vectors(50, d, seed=101, kind=kind)
+    h = HybridIndex(HybridConfig(exact_threshold=100,
+                                 large_strategy="ivf",
+                                 num_partitions=16, partition_size=50))
+    h.batch_add(list(range(n)), v)
+    keys, _ = h.batch_search(q, k, target_recall=target)
+    gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
+    hits = sum(len({kk for kk in keys[i] if kk is not None}
+                   & set(map(int, gt_i[i]))) for i in range(len(q)))
+    recall = hits / (len(q) * k)
+    assert recall >= target - 0.03, (h.stats.last_strategy, recall)
+    # route is cached
+    tier = h.stats.last_strategy
+    h.batch_search(q, k, target_recall=target)
+    assert h.stats.last_strategy == tier
+
+
+def test_target_recall_one_means_exact_quality():
+    n, d, k = 1500, 16, 5
+    v = make_vectors(n, d, seed=102)
+    h = HybridIndex(HybridConfig(exact_threshold=100))
+    h.batch_add(list(range(n)), v)
+    res = h.search(v[7], k, target_recall=1.0)
+    assert res[0][0] == 7 and res[0][1] < 1e-5
