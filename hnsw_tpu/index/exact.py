@@ -36,12 +36,17 @@ class ExactIndex:
     delete / batch_delete / __len__ / close.
     """
 
-    def __init__(self, dim: Optional[int] = None, metric: str = "cosine"):
+    def __init__(self, dim: Optional[int] = None, metric: str = "cosine",
+                 fast_math: bool = False):
         self.metric = canonical_metric(metric)
         self.slots = SlotMap()
         self.store = HostVectorStore(dim)
         self._dev: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None
         self._dirty = True
+        #: bf16 MXU scan with f32 rerank of the winners (2x serving
+        #: throughput; exact final ordering up to pool membership).
+        #: f32 HIGHEST stays the ground-truth default.
+        self.fast_math = fast_math
 
     # -- mutation ----------------------------------------------------------
     def add(self, key: Hashable, vector) -> None:
@@ -116,10 +121,25 @@ class ExactIndex:
         if use_fused:
             from hnsw_tpu.ops.pallas_exact import exact_topk_fused
             d, i = exact_topk_fused(jnp.asarray(queries), v, sq, alive,
-                                    k=k, metric=self.metric)
+                                    k=k, metric=self.metric,
+                                    fast_math=self.fast_math)
+            if self.fast_math:
+                # f32 rerank of the bf16 winners
+                from hnsw_tpu.ops.distance import gathered_dist
+                qf = jnp.asarray(queries)
+                safe = jnp.clip(i, 0, v.shape[0] - 1)
+                dd = gathered_dist(qf, v[safe], sq[safe],
+                                   jnp.sum(qf * qf, axis=-1),
+                                   metric=self.metric,
+                                   precision=jax.lax.Precision.HIGHEST)
+                dd = jnp.where(i >= 0, dd, INF_DIST)
+                from hnsw_tpu.ops.topk import topk_smallest
+                d, pos = topk_smallest(dd, k)
+                i = jnp.take_along_axis(i, pos, axis=1)
         else:
             d, i = exact_topk(jnp.asarray(queries), v, sq, alive,
-                              k=k, metric=self.metric)
+                              k=k, metric=self.metric,
+                              fast_math=self.fast_math)
         d = np.asarray(d[:nq])
         i = np.asarray(i[:nq], np.int64)
         return d, i

@@ -72,7 +72,7 @@ def _merge_sorted(d_a, i_a, d_b, i_b, k: int):
     return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
 
 
-def _make_kernel(metric: str, k: int, tc: int):
+def _make_kernel(metric: str, k: int, tc: int, fast_math: bool = False):
     def kernel(q_ref, v_ref, vsq_ref, valid_ref, outd_ref, outi_ref):
         j = pl.program_id(1)
 
@@ -83,6 +83,11 @@ def _make_kernel(metric: str, k: int, tc: int):
 
         q = q_ref[:]                                  # [TQ, D]
         v = v_ref[:]                                  # [TC, D]
+        if fast_math:
+            # bf16 MXU inputs, f32 accumulation: 2x matmul throughput;
+            # callers rerank the pool in f32 for exact ordering
+            q = q.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
         gram = jax.lax.dot_general(
             q, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # [TQ, TC]
@@ -110,22 +115,26 @@ def _make_kernel(metric: str, k: int, tc: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "metric", "tq", "tc", "interpret"))
+                   static_argnames=("k", "metric", "tq", "tc", "interpret",
+                                    "fast_math"))
 def pallas_exact_topk(queries: jnp.ndarray, vectors: jnp.ndarray,
                       v_sq: jnp.ndarray, valid: jnp.ndarray, *, k: int,
                       metric: str = "cosine", tq: int = 256,
-                      tc: int = 2048, interpret: bool = False
+                      tc: int = 2048, interpret: bool = False,
+                      fast_math: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused exact k-NN. queries [Q, D], vectors [N, D]; Q % tq == 0 and
-    N % tc == 0 (callers pad; see exact_topk_fused). k <= 32."""
+    N % tc == 0 (callers pad; see exact_topk_fused). k <= 128 (the
+    min-extraction selection is O(k) VPU passes per tile — above that
+    the XLA chunked path wins; ExactIndex routes automatically)."""
     metric = canonical_metric(metric)
-    if k > 32:
-        raise ValueError("pallas_exact_topk supports k <= 32")
+    if k > 128:
+        raise ValueError("pallas_exact_topk supports k <= 128")
     Q, D = queries.shape
     N = vectors.shape[0]
     assert Q % tq == 0 and N % tc == 0, (Q, N, tq, tc)
     grid = (Q // tq, N // tc)
-    kernel = _make_kernel(metric, k, tc)
+    kernel = _make_kernel(metric, k, tc, fast_math=fast_math)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -152,11 +161,12 @@ def pallas_exact_topk(queries: jnp.ndarray, vectors: jnp.ndarray,
 
 
 def exact_topk_fused(queries, vectors, v_sq, valid, *, k: int,
-                     metric: str = "cosine", interpret: bool = False):
+                     metric: str = "cosine", interpret: bool = False,
+                     fast_math: bool = False):
     """Padding wrapper around pallas_exact_topk; mirrors
     ops/topk.exact_topk's signature. Returns (dists [Q,k], idx [Q,k])."""
     queries = jnp.asarray(queries, jnp.float32)
-    vectors = jnp.asarray(vectors, jnp.float32)
+    vectors = jnp.asarray(vectors)
     Q, D = queries.shape
     N = vectors.shape[0]
     tq = 256 if Q >= 256 else max(8, Q)
@@ -171,7 +181,7 @@ def exact_topk_fused(queries, vectors, v_sq, valid, *, k: int,
         valid = jnp.pad(valid, (0, np_), constant_values=False)
     d, i = pallas_exact_topk(queries, vectors, v_sq, valid, k=k,
                              metric=metric, tq=tq, tc=tc,
-                             interpret=interpret)
+                             interpret=interpret, fast_math=fast_math)
     d = d[:Q]
     i = jnp.where(d >= INF_DIST, -1, i[:Q])
     return d, i

@@ -81,3 +81,43 @@ def test_k_larger_than_n():
     idx.batch_add([0, 1, 2], v)
     res = idx.search(v[0], 10)
     assert len(res) == 3
+
+
+def test_fast_math_matches_f32_oracle():
+    """bf16 scan + f32 rerank must agree with the f32 oracle (>=0.999)."""
+    import numpy as np
+    from hnsw_tpu.index.exact import ExactIndex
+    from hnsw_tpu.ops.topk import np_exact_topk
+    from tests.conftest import make_vectors
+    n, d, k = 4000, 64, 10
+    v = make_vectors(n, d, seed=110)
+    q = make_vectors(200, d, seed=111)
+    idx = ExactIndex(metric="cosine", fast_math=True)
+    idx.batch_add(list(range(n)), v)
+    keys, dists = idx.batch_search(q, k)
+    gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
+    hits = sum(len(set(keys[i]) & set(map(int, gt_i[i])))
+               for i in range(len(q)))
+    recall = hits / (len(q) * k)
+    assert recall >= 0.999, recall
+    # reranked distances are f32-exact for the returned ids
+    np.testing.assert_allclose(dists[:, 0], gt_d[:, 0], atol=1e-5)
+
+
+def test_pallas_k_above_32_interpret():
+    """k in (32, 128] supported by the fused kernel (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hnsw_tpu.ops.pallas_exact import exact_topk_fused
+    from hnsw_tpu.ops.topk import np_exact_topk
+    from tests.conftest import make_vectors
+    n, d, k = 2048, 32, 64
+    v = make_vectors(n, d, seed=112)
+    q = make_vectors(16, d, seed=113)
+    sq = np.sum(v.astype(np.float64) * v, axis=1).astype(np.float32)
+    d_, i_ = exact_topk_fused(jnp.asarray(q), jnp.asarray(v),
+                              jnp.asarray(sq),
+                              jnp.ones((n,), bool), k=k, metric="cosine",
+                              interpret=True)
+    gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
+    assert np.array_equal(np.asarray(i_), gt_i)
