@@ -188,6 +188,10 @@ class StoreConfig:
     #: the cost of one log write per change). Default matches the
     #: reference: buffered, volatile until flush.
     wal_sync_writes: bool = False
+    #: keep vectors DISK-resident (memory-mapped row file) instead of
+    #: in RAM — the reference parquet VectorStore's capability for
+    #: N >> RAM (parquet/vector_ops.go:18-63).
+    vectors_on_disk: bool = False
     format: str = "parquet"  # "parquet" | "arrow" | "npz"
 
     def validate(self) -> None:

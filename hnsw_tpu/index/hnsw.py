@@ -47,14 +47,18 @@ class Graph:
     def __init__(self, m: int = 16, ml: float = 0.25, ef_search: int = 20,
                  metric: str = "cosine", seed: int = 0,
                  ef_construction: int = 100,
-                 config: Optional[GraphConfig] = None):
+                 config: Optional[GraphConfig] = None,
+                 store=None):
         self.cfg = config or GraphConfig(m=m, ml=ml, ef_search=ef_search,
                                          metric=metric, seed=seed,
                                          ef_construction=ef_construction)
         self.cfg.validate()
         self.metric = canonical_metric(self.cfg.metric)
         self.slots = SlotMap()
-        self.store = HostVectorStore()
+        #: vector storage — RAM by default; pass an
+        #: io.mmap_store.MmapVectorStore for disk-resident vectors
+        #: (N >> RAM; the parquet VectorStore role).
+        self.store = store if store is not None else HostVectorStore()
         self.host = host_build.HostGraph(self.cfg, self.store)
         self._dev: Optional[DeviceGraph] = None
         self._dirty = True

@@ -1,0 +1,131 @@
+"""Streaming exact index — serve N >> HBM (and >> RAM) at recall 1.0.
+
+The reference's answer to datasets bigger than memory is the parquet/
+arrow disk graphs (SURVEY.md §2.5-2.6): structure in RAM, vectors on
+disk, per-query batched fetches. The TPU-native answer for the EXACT
+tier is simpler and faster: vectors live in one memory-mapped row file
+(io/mmap_store.MmapVectorStore); a query batch streams HBM-sized chunks
+through the device — chunk upload, MXU scan, running top-k merge — so
+device memory bounds the CHUNK, not the dataset, and host RAM holds
+only the page-cache working set.
+
+This is the disk tier of the hybrid family: recall 1.0 at any N, with
+throughput bounded by host->device bandwidth instead of HBM capacity.
+Reference role: parquet/vector_ops.go:321-432 (GetVectorsBatch) +
+hybrid/exact.go semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Hashable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hnsw_tpu.config import canonical_metric
+from hnsw_tpu.io.mmap_store import MmapVectorStore
+from hnsw_tpu.ops.distance import INF_DIST
+from hnsw_tpu.utils.keystore import SlotMap
+
+
+class StreamingExactIndex:
+    """Exact k-NN over disk-resident vectors, streamed in device chunks.
+
+    API mirrors ExactIndex (hybrid/exact.go via hybrid.go:15-60);
+    storage capacity is the disk, not HBM or RAM. ``chunk_rows`` bounds
+    device residency: peak HBM use is one [chunk_rows, D] block plus the
+    [Q, k] running winners.
+    """
+
+    def __init__(self, directory: str, dim: Optional[int] = None,
+                 metric: str = "cosine", chunk_rows: int = 131072,
+                 fast_math: bool = False):
+        self.metric = canonical_metric(metric)
+        self.slots = SlotMap()
+        self.store = MmapVectorStore(directory, dim=dim)
+        self.chunk_rows = int(chunk_rows)
+        self.fast_math = fast_math
+
+    # -- mutation ------------------------------------------------------------
+    def add(self, key: Hashable, vector) -> None:
+        slot, _ = self.slots.assign(key)
+        self.store.put(slot, np.asarray(vector, np.float32))
+
+    def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
+        vectors = np.asarray(vectors, np.float32)
+        if len(keys) != len(vectors):
+            raise ValueError("keys/vectors length mismatch")
+        slot_list = [self.slots.assign(k)[0] for k in keys]
+        self.store.put_batch(np.asarray(slot_list, np.int64), vectors)
+
+    def delete(self, key: Hashable) -> bool:
+        slot = self.slots.release(key)
+        if slot is None:
+            return False
+        self.store.kill(slot)
+        return True
+
+    def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
+        return [self.delete(k) for k in keys]
+
+    def __len__(self) -> int:
+        return len(self.slots)
+
+    def flush(self) -> None:
+        self.store.flush()
+
+    def close(self) -> None:
+        self.store.close()
+
+    # -- search ---------------------------------------------------------------
+    def batch_search_slots(self, queries: np.ndarray, k: int
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        from hnsw_tpu.ops.topk import exact_topk, merge_topk
+        if k <= 0:
+            raise ValueError(f"k must be greater than 0, got {k}")
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        nq = queries.shape[0]
+        n = self.slots.capacity_used
+        if n == 0:
+            return (np.full((nq, k), INF_DIST, np.float32),
+                    np.full((nq, k), -1, np.int64))
+        self.store.ensure_dim(queries.shape[-1])
+        qd = jnp.asarray(queries)
+        best_d = jnp.full((nq, k), INF_DIST, jnp.float32)
+        best_i = jnp.full((nq, k), -1, jnp.int32)
+        step = self.chunk_rows
+        for c0 in range(0, n, step):
+            c1 = min(c0 + step, n)
+            rows = c1 - c0
+            pad = (-rows) % 8
+            vec = np.zeros((rows + pad, self.store.dim), np.float32)
+            vec[:rows] = self.store.vectors[c0:c1]      # disk -> RAM page-in
+            sq = np.zeros((rows + pad,), np.float32)
+            sq[:rows] = self.store.sq_norms[c0:c1]
+            alive = np.zeros((rows + pad,), bool)
+            alive[:rows] = self.store.alive[c0:c1]
+            d, i = exact_topk(qd, jnp.asarray(vec), jnp.asarray(sq),
+                              jnp.asarray(alive), k=min(k, rows),
+                              metric=self.metric, fast_math=self.fast_math)
+            if d.shape[1] < k:
+                d = jnp.pad(d, ((0, 0), (0, k - d.shape[1])),
+                            constant_values=INF_DIST)
+                i = jnp.pad(i, ((0, 0), (0, k - i.shape[1])),
+                            constant_values=-1)
+            i = jnp.where(i >= 0, i + c0, -1)
+            best_d, best_i = merge_topk(best_d, best_i, d, i, k)
+        best_i = jnp.where(best_d >= INF_DIST, -1, best_i)
+        return np.asarray(best_d), np.asarray(best_i, np.int64)
+
+    def batch_search(self, queries, k: int
+                     ) -> Tuple[List[List[Any]], np.ndarray]:
+        d, i = self.batch_search_slots(np.asarray(queries, np.float32), k)
+        keys = [self.slots.keys_for(row) for row in i]
+        return keys, d
+
+    def search(self, query, k: int) -> List[Tuple[Any, float]]:
+        d, i = self.batch_search_slots(
+            np.asarray(query, np.float32)[None], k)
+        return [(self.slots.key_of(int(s)), float(dd))
+                for dd, s in zip(d[0], i[0]) if s >= 0]

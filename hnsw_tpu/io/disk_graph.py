@@ -101,7 +101,11 @@ class DiskGraph:
             meta = T.read_metadata(meta_p, self.fmt)
         cfg = config or (GraphConfig(**meta["config"]) if have_meta
                          else GraphConfig())
-        g = Graph(config=cfg)
+        store = None
+        if self.scfg.vectors_on_disk:
+            from hnsw_tpu.io.mmap_store import MmapVectorStore
+            store = MmapVectorStore(os.path.join(self.dir, "vectors_mmap"))
+        g = Graph(config=cfg, store=store)
         has_logs = self.wal.num_log_files > 0
         if not have_meta and not has_logs:
             return g
@@ -250,6 +254,8 @@ class DiskGraph:
         arrow/graph.go:355-409)."""
         self._persist()
         self.wal.flush()
+        if hasattr(self.graph.store, "flush"):
+            self.graph.store.flush()  # msync the mmap store
 
     def compact(self) -> None:
         """Fold the WAL into the base tables (incremental.go:453-488).

@@ -1,0 +1,95 @@
+"""Disk-resident serving tier: MmapVectorStore + StreamingExactIndex +
+Graph over mmap vectors.
+
+Reference capability: parquet VectorStore serves queries from
+disk-resident vectors with batched fetches (parquet/vector_ops.go:
+18-63,321-432); quality oracle pattern from parquet/graph_test.go:179.
+"""
+
+import numpy as np
+import pytest
+
+from hnsw_tpu import Graph
+from hnsw_tpu.index.streaming import StreamingExactIndex
+from hnsw_tpu.io.mmap_store import MmapVectorStore
+from hnsw_tpu.ops.topk import np_exact_topk
+from tests.conftest import make_vectors
+
+
+def test_mmap_store_roundtrip_and_growth(tmp_path):
+    s = MmapVectorStore(str(tmp_path / "st"), dim=8, capacity=4)
+    v = make_vectors(100, 8, seed=120)
+    s.put_batch(np.arange(100), v)            # forces growth 4 -> 128
+    assert s.capacity >= 100
+    np.testing.assert_allclose(s.get(42), v[42])
+    np.testing.assert_allclose(s.get_batch([3, 77]), v[[3, 77]])
+    s.kill(42)
+    s.flush()
+    # reopen from disk
+    s2 = MmapVectorStore(str(tmp_path / "st"))
+    assert s2.dim == 8 and not s2.alive[42] and s2.alive[41]
+    np.testing.assert_allclose(np.asarray(s2.vectors[:100]), v)
+
+
+def test_streaming_exact_recall_one_with_tiny_chunks(tmp_path):
+    # chunk_rows << N: device only ever holds a sliver of the dataset
+    n, d, k = 5000, 16, 10
+    v = make_vectors(n, d, seed=121)
+    q = make_vectors(30, d, seed=122)
+    idx = StreamingExactIndex(str(tmp_path / "sx"), metric="cosine",
+                              chunk_rows=512)
+    idx.batch_add(list(range(n)), v)
+    keys, dists = idx.batch_search(q, k)
+    gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
+    for i in range(len(q)):
+        assert keys[i] == [int(x) for x in gt_i[i]]
+    np.testing.assert_allclose(dists, gt_d, atol=1e-4)
+
+
+def test_streaming_exact_delete_and_reopen(tmp_path):
+    n, d = 300, 8
+    v = make_vectors(n, d, seed=123)
+    p = str(tmp_path / "sx")
+    idx = StreamingExactIndex(p, chunk_rows=64)
+    idx.batch_add(list(range(n)), v)
+    assert idx.delete(5)
+    res = idx.search(v[5], 1)
+    assert res[0][0] != 5
+    idx.close()
+    # vectors survive on disk
+    idx2 = StreamingExactIndex(p, chunk_rows=64)
+    assert idx2.store.alive[6] and not idx2.store.alive[5]
+
+
+def test_graph_over_mmap_store_quality_parity(tmp_path):
+    # same data: Graph on RAM store vs Graph on disk store -> same
+    # results (vectors identical, only residency differs)
+    n, d, k = 400, 16, 5
+    v = make_vectors(n, d, seed=124)
+    q = make_vectors(20, d, seed=125)
+    g_ram = Graph(seed=0)
+    g_ram.batch_add(list(range(n)), v)
+    g_dsk = Graph(seed=0, store=MmapVectorStore(str(tmp_path / "gv")))
+    g_dsk.batch_add(list(range(n)), v)
+    k1, d1 = g_ram.batch_search(q, k, ef=64)
+    k2, d2 = g_dsk.batch_search(q, k, ef=64)
+    assert [list(r) for r in k1] == [list(r) for r in k2]
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+
+
+def test_disk_graph_vectors_on_disk(tmp_path):
+    from hnsw_tpu.config import StoreConfig
+    from hnsw_tpu.io.disk_graph import DiskGraph
+    d = str(tmp_path / "dg")
+    v = make_vectors(150, 8, seed=126)
+    g = DiskGraph(d, store_config=StoreConfig(
+        directory=d, format="npz", vectors_on_disk=True,
+        wal_flush_interval_seconds=0))
+    g.batch_add(list(range(150)), v)
+    assert g.search(v[9], 1)[0][0] == 9
+    g.close()
+    g2 = DiskGraph(d, store_config=StoreConfig(
+        directory=d, format="npz", vectors_on_disk=True,
+        wal_flush_interval_seconds=0))
+    assert len(g2) == 150
+    assert g2.search(v[9], 1)[0][0] == 9
