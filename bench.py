@@ -83,7 +83,7 @@ def main():
     from hnsw_tpu.core.search import search_graph
     q1k = queries[:1024]
     hnsw_points = []
-    for ef, E, H in ((128, 8, 32), (192, 8, 40)):
+    for ef, E, H in ((192, 4, 80), (256, 8, 48), (384, 16, 40)):
         def serve_hnsw():
             dd, ii = search_graph(dev, q1k, k=k, ef=ef, metric="cosine",
                                   max_hops=H, fast_math=True, expand=E)
@@ -100,16 +100,21 @@ def main():
               f"recall@10={rec:.4f}", file=sys.stderr)
 
     baseline_qps = 398.4  # reference adaptive hybrid, same config
-    best_hnsw = max((p for p in hnsw_points if p[2] >= 0.95),
-                    default=max(hnsw_points, key=lambda p: p[2]))
+    best95 = max((p for p in hnsw_points if p[2] >= 0.95),
+                 default=max(hnsw_points, key=lambda p: p[2]))
+    best98 = max((p for p in hnsw_points if p[2] >= 0.98),
+                 default=max(hnsw_points, key=lambda p: p[2]))
     print(json.dumps({
         "metric": "hybrid_engine_qps_10kx128_cosine_recall@10",
         "value": round(exact_qps, 0),
         "unit": "qps",
         "vs_baseline": round(exact_qps / baseline_qps, 1),
         "recall": round(exact_recall, 4),
-        "hnsw_qps_at_recall>=0.95": round(best_hnsw[1], 0),
-        "hnsw_recall": round(best_hnsw[2], 4),
+        "hnsw_qps_at_recall>=0.95": round(best95[1], 0),
+        "hnsw_recall": round(best95[2], 4),
+        "hnsw_qps_at_recall>=0.98": round(best98[1], 0),
+        "hnsw_recall@0.98_point": round(best98[2], 4),
+        "hnsw_vs_baseline_at_0.98": round(best98[1] / baseline_qps, 1),
         "build_seconds": round(build_s, 1),
         "platform": jax.devices()[0].platform,
     }))

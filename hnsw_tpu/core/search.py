@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from hnsw_tpu.config import canonical_metric
 from hnsw_tpu.core.state import DeviceGraph
 from hnsw_tpu.ops.distance import INF_DIST, gathered_dist
-from hnsw_tpu.ops.topk import topk_smallest
 
 
 def _dedup_adjacent(pool_d, pool_i, expanded):
@@ -84,13 +83,21 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
     M = g.m
     neigh = g.neighbors[layer]              # [cap, M]
     rows = jnp.arange(B)
-    # Visited-set representation: dense bitmask for small caps; a
-    # direct-mapped id table for large caps (the [B, cap] mask costs
-    # 134MB/1024-query batch at cap=131k and its scatter/gather traffic
-    # dominates hop time). Table collisions only cause re-evaluation
-    # (caught by pool dedup) — never wrong results.
-    use_hash = cap >= 65536
-    S = 4096
+
+    # NO visited set. The pool is the dedup AND termination structure:
+    #   * each edge (u, v) is scored exactly once per expansion of u,
+    #     and u expands at most once (the 'expanded' flag survives
+    #     merges — the stable sort keeps the pool copy first);
+    #   * a node evicted from the pool can never re-enter: eviction
+    #     means P better entries existed, and the pool only improves;
+    #   * same-hop duplicates (diamond frontiers) carry equal distances,
+    #     land adjacent after the stable sort, and are masked by
+    #     _dedup_adjacent.
+    # The [B, cap] bitmask / id-table this replaces measured 5.6 ms/hop
+    # at B=1024, cap=16k — 4x the entire gather+score cost. The price is
+    # re-scoring diamond-overlap candidates (~1.2 ms/hop worst case).
+    # Edges to dead nodes are prefolded to -1 at device-sync time
+    # (state.from_host), so the hop gathers no tombstone mask either.
 
     # Pool init: the start node occupies slot 0 (mirrors the reference
     # pushing the entry into the result set first, graph.go:122).
@@ -103,17 +110,10 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
               + vary0[:, None])
     pool_d = jnp.full((B, P), INF_DIST, jnp.float32).at[:, 0].set(start_d)
     expanded = pool_i < -1
-    if use_hash:
-        visited = (jnp.full((B, S), -1, jnp.int32)
-                   .at[rows, jnp.clip(start_ids, 0, cap - 1) % S]
-                   .set(start_ids) + vary0[:, None])
-    else:
-        visited = (jnp.zeros((B, cap), bool)
-                   .at[rows, jnp.clip(start_ids, 0, cap - 1)].set(True)
-                   | (vary0 > 0)[:, None])
     hop0 = jnp.min(vary0)
 
-    def active_and_sel(pool_d, pool_i, expanded):
+    def select(pool_d, pool_i, expanded):
+        """Top-E unexpanded pool entries; take-mask per entry."""
         sel_d = jnp.where(expanded | (pool_i < 0), INF_DIST, pool_d)
         negv, j = jax.lax.top_k(-sel_d, E)                  # [B, E]
         best = -negv                                        # ascending
@@ -121,62 +121,50 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
         take = best < worst[:, None]                        # per-entry
         return j, take
 
+    j0, take0 = select(pool_d, pool_i, expanded)
+
     def cond(state):
-        pool_d, pool_i, expanded, visited, hop = state
-        _, take = active_and_sel(pool_d, pool_i, expanded)
+        _pool_d, _pool_i, _expanded, _j, take, hop = state
         return (hop < max_hops) & jnp.any(take)
 
     def body(state):
-        pool_d, pool_i, expanded, visited, hop = state
-        j, take = active_and_sel(pool_d, pool_i, expanded)   # [B, E]
-        cur = pool_i[rows[:, None], j]                       # [B, E]
+        pool_d, pool_i, expanded, j, take, hop = state
+        cur = jnp.take_along_axis(pool_i, j, axis=1)         # [B, E]
         cur_safe = jnp.clip(jnp.where(take, cur, 0), 0, cap - 1)
         expanded = expanded.at[rows[:, None], j].max(take)
 
         nbrs = neigh[cur_safe].reshape(B, E * M)             # [B, E*M]
         nb_ok = (nbrs >= 0) & jnp.repeat(take, M, axis=1)
         nb_safe = jnp.clip(jnp.where(nb_ok, nbrs, 0), 0, cap - 1)
-        # ONE visited gather + ONE scatter per hop, regardless of E.
-        # Intra-hop duplicates (two expansions sharing an unvisited
-        # neighbor) are NOT filtered here — duplicate ids carry equal
-        # distances, so after the stable top_k merge they sit adjacent
-        # in the pool and _dedup_adjacent removes them for free. (A
-        # serialized per-expansion scatter chain and a sort-based filter
-        # both measured slower on TPU.)
-        if use_hash:
-            slot = nb_safe % S
-            old = visited[rows[:, None], slot]
-            seen = old == nbrs
-            eval_mask = nb_ok & (~seen) & g.alive[nb_safe]
-            visited = visited.at[rows[:, None], slot].set(
-                jnp.where(nb_ok, nbrs, old))
-        else:
-            seen = visited[rows[:, None], nb_safe]
-            eval_mask = nb_ok & (~seen) & g.alive[nb_safe]
-            visited = visited.at[rows[:, None], nb_safe].max(nb_ok)
 
         cand_vecs = g.vectors[nb_safe]                      # [B, E*M, D]
         cand_sq = g.sq_norms[nb_safe]
         d = gathered_dist(queries, cand_vecs, cand_sq, q_sq,
                           metric=metric, precision=precision)
-        d = jnp.where(eval_mask, d, INF_DIST)
-        new_i = jnp.where(eval_mask, nbrs, -1)
+        d = jnp.where(nb_ok, d, INF_DIST)
+        new_i = jnp.where(nb_ok, nbrs, -1)
 
+        # Fused merge: ONE stable multi-operand sort replaces
+        # top_k + two take_along_axis gathers (measured ~4 ms/hop).
         md = jnp.concatenate([pool_d, d], axis=1)           # [B, P+E*M]
         mi = jnp.concatenate([pool_i, new_i], axis=1)
         me = jnp.concatenate([expanded, jnp.zeros((B, E * M), bool)],
                              axis=1)
-        pd, pos = topk_smallest(md, P)
-        pool_i = jnp.take_along_axis(mi, pos, axis=1)
-        expanded = jnp.take_along_axis(me, pos, axis=1)
-        pd, pool_i, expanded = _dedup_adjacent(pd, pool_i, expanded)
-        return pd, pool_i, expanded, visited, hop + 1
+        sd, si, se = jax.lax.sort((md, mi, me), dimension=1, num_keys=1,
+                                  is_stable=True)
+        pool_d, pool_i, expanded = sd[:, :P], si[:, :P], se[:, :P]
+        pool_d, pool_i, expanded = _dedup_adjacent(pool_d, pool_i,
+                                                   expanded)
+        j, take = select(pool_d, pool_i, expanded)
+        return pool_d, pool_i, expanded, j, take, hop + 1
 
-    state = (pool_d, pool_i, expanded, visited, hop0)
-    pool_d, pool_i, expanded, visited, _ = jax.lax.while_loop(cond, body, state)
-    # Final sort (top_k over P yields ascending order).
-    pd, pos = topk_smallest(pool_d, P)
-    pi = jnp.take_along_axis(pool_i, pos, axis=1)
+    state = (pool_d, pool_i, expanded, j0, take0, hop0)
+    pool_d, pool_i, expanded, _, _, _ = jax.lax.while_loop(cond, body,
+                                                           state)
+    # Final compaction: dedup slots hold (INF, -1); one stable sort
+    # pushes them to the tail and restores ascending order.
+    pd, pi = jax.lax.sort((pool_d, pool_i), dimension=1, num_keys=1,
+                          is_stable=True)
     pi = jnp.where(pd >= INF_DIST, -1, pi)
     return pd, pi
 

@@ -82,11 +82,20 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
             out[:n] = a
         return out
 
+    # Prefold tombstones into the adjacency: edges to dead nodes become
+    # -1 here, so the search hop never gathers an alive mask
+    # (core/search.beam_search_layer relies on this invariant).
+    nb = np.asarray(neighbors, np.int32)
+    al = np.asarray(alive, bool)
+    if nb.size and not al.all():
+        safe = np.clip(nb, 0, al.shape[0] - 1)
+        nb = np.where((nb >= 0) & al[safe], nb, -1)
+
     return DeviceGraph(
         vectors=jnp.asarray(pad_rows(vectors.astype(store_dtype), 0)),
         sq_norms=jnp.asarray(pad_rows(sq_norms.astype(np.float32), 0)),
-        neighbors=jnp.asarray(pad_rows(neighbors.astype(np.int32), -1)),
+        neighbors=jnp.asarray(pad_rows(nb, -1)),
         levels=jnp.asarray(pad_rows(levels.astype(np.int32), -1)),
-        alive=jnp.asarray(pad_rows(alive.astype(bool), False)),
+        alive=jnp.asarray(pad_rows(al, False)),
         entry=jnp.asarray(np.int32(entry)),
     )
