@@ -83,7 +83,7 @@ def main():
     from hnsw_tpu.core.search import search_graph
     q1k = queries[:1024]
     hnsw_points = []
-    for ef, E, H in ((192, 4, 80), (256, 8, 48), (384, 16, 40)):
+    for ef, E, H in ((192, 1, 320), (320, 2, 256), (384, 4, 160)):
         def serve_hnsw():
             dd, ii = search_graph(dev, q1k, k=k, ef=ef, metric="cosine",
                                   max_hops=H, fast_math=True, expand=E)
@@ -101,8 +101,10 @@ def main():
 
     baseline_qps = 398.4  # reference adaptive hybrid, same config
     best95 = max((p for p in hnsw_points if p[2] >= 0.95),
+                 key=lambda p: p[1],
                  default=max(hnsw_points, key=lambda p: p[2]))
     best98 = max((p for p in hnsw_points if p[2] >= 0.98),
+                 key=lambda p: p[1],
                  default=max(hnsw_points, key=lambda p: p[2]))
     print(json.dumps({
         "metric": "hybrid_engine_qps_10kx128_cosine_recall@10",
