@@ -1,0 +1,84 @@
+"""Large-scale device build + quality curve (VERDICT item 5).
+
+Usage: scale_build.py [N] [wave]
+Builds N x 128 random f32 on-device, then measures exact qps, graph
+recall/qps at an ef ladder, and IVF (clustered comparison separate).
+Appends JSON rows to benchmarks/results_tpu_r2.jsonl.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "results_tpu_r2.jsonl")
+
+
+def emit(rec):
+    rec["ts"] = time.time()
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    wave = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    d, k = 128, 10
+    from hnsw_tpu.utils.warmup import warmup_transfers
+    warmup_transfers()
+    import jax
+    import jax.numpy as jnp
+    from hnsw_tpu import Graph
+    from hnsw_tpu.core.search import search_graph
+    from hnsw_tpu.ops.topk import exact_topk
+
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g = Graph(m=16, ef_search=20, metric="cosine", seed=0)
+    t0 = time.perf_counter()
+    g.build(list(range(n)), data, wave=wave, method="device")
+    build_s = time.perf_counter() - t0
+    emit({"op": "device_build", "n": n, "wave": wave,
+          "seconds": round(build_s, 1)})
+
+    dev = g.device_graph()
+    B = 1024
+    q = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+
+    def gt_and_exact():
+        f = lambda: exact_topk(q, dev.vectors, dev.sq_norms, dev.alive,
+                               k=k, metric="cosine")
+        dd, ii = f()
+        jax.block_until_ready(ii)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            dd, ii = f()
+        jax.block_until_ready(ii)
+        return np.asarray(ii), 3 * B / (time.perf_counter() - t0)
+
+    gt, exact_qps = gt_and_exact()
+    emit({"op": "exact", "n": n, "qps": round(exact_qps),
+          "recall": 1.0})
+
+    for ef, E in ((96, 2), (192, 2), (384, 2), (768, 4), (1536, 8)):
+        H = max(128, 2 * ef // E)
+        f = lambda: search_graph(dev, q, k=k, ef=ef, metric="cosine",
+                                 max_hops=H, fast_math=True, expand=E)
+        dd, ii = f()
+        jax.block_until_ready(ii)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            dd, ii = f()
+        jax.block_until_ready(ii)
+        dt = (time.perf_counter() - t0) / 3
+        ii = np.asarray(ii)
+        hits = sum(len(set(map(int, ii[r])) & set(map(int, gt[r])))
+                   for r in range(B))
+        emit({"op": "hnsw", "n": n, "ef": ef, "expand": E,
+              "qps": round(B / dt), "recall": round(hits / (B * k), 4)})
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,7 @@ from hnsw_tpu.config import canonical_metric
 from hnsw_tpu.core.state import bucket_pow2
 from hnsw_tpu.ops.distance import INF_DIST, pairwise_dist
 from hnsw_tpu.ops.topk import merge_topk, topk_smallest
-from hnsw_tpu.utils.keystore import SlotMap
+from hnsw_tpu.utils.keystore import HostVectorStore, SlotMap
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -101,9 +101,13 @@ class IVFIndex:
         self.kmeans_iters = kmeans_iters
         self.slots = SlotMap()
         self.centroids: Optional[np.ndarray] = None
-        # partition-major storage (host authoritative, device mirror)
-        self._members: List[List[int]] = [[] for _ in range(self.P)]
-        self._vecs: dict = {}
+        # partition-major storage (host authoritative, device mirror).
+        # Vectors live in a dense padded store and membership in
+        # per-partition slot sets + a slot->partition map, so _sync and
+        # delete are vectorized / O(1) instead of Python-looped over N.
+        self.store = HostVectorStore()
+        self._members: List[set] = [set() for _ in range(self.P)]
+        self._part_of: dict = {}
         self._dirty = True
         self._dev = None
 
@@ -144,13 +148,7 @@ class IVFIndex:
                                      jnp.asarray(self.centroids),
                                      metric=self.metric))
         assign = d.argmin(axis=1)
-        for k_, v, p in zip(keys, vectors, assign):
-            if k_ in self.slots:
-                self.delete(k_)
-            slot, _ = self.slots.assign(k_)
-            self._vecs[slot] = v
-            self._members[int(p)].append(slot)
-        self._dirty = True
+        self._commit(keys, vectors, assign)
 
     def add(self, key: Hashable, vector) -> None:
         self.batch_add([key], np.asarray(vector, np.float32)[None])
@@ -164,12 +162,18 @@ class IVFIndex:
                                      jnp.asarray(self.centroids),
                                      metric=self.metric))
         assign = d.argmin(axis=1)
-        for k_, v, p in zip(keys, vectors, assign):
+        self._commit(keys, vectors, assign)
+
+    def _commit(self, keys, vectors, assign) -> None:
+        for k_ in keys:
             if k_ in self.slots:
                 self.delete(k_)
-            slot, _ = self.slots.assign(k_)
-            self._vecs[slot] = v
-            self._members[int(p)].append(slot)
+        slot_arr = np.asarray([self.slots.assign(k_)[0] for k_ in keys],
+                              np.int64)
+        self.store.put_batch(slot_arr, vectors)
+        for slot, p in zip(slot_arr, assign):
+            self._members[int(p)].add(int(slot))
+            self._part_of[int(slot)] = int(p)
         self._dirty = True
 
     def delete(self, key: Hashable) -> bool:
@@ -177,11 +181,10 @@ class IVFIndex:
         if slot is None:
             return False
         self.slots.release(key)
-        self._vecs.pop(slot, None)
-        for m in self._members:
-            if slot in m:
-                m.remove(slot)
-                break
+        self.store.kill(slot)
+        p = self._part_of.pop(slot, None)
+        if p is not None:
+            self._members[p].discard(slot)
         self._dirty = True
         return True
 
@@ -198,28 +201,30 @@ class IVFIndex:
     def _sync(self):
         if not self._dirty and self._dev is not None:
             return self._dev
-        dim = next(iter(self._vecs.values())).shape[0] if self._vecs else 1
+        dim = self.store.dim or 1
         sizes = [len(m) for m in self._members]
         bs = min(self.BLOCK, bucket_pow2(max(max(sizes, default=1), 1), 8))
         # partition -> list of block indices
         part_blocks: List[List[int]] = [[] for _ in range(self.P)]
         rows = []
         for p, mem in enumerate(self._members):
-            for c0 in range(0, max(len(mem), 1), bs):
+            mem_arr = np.fromiter(mem, np.int64, len(mem))
+            for c0 in range(0, max(len(mem_arr), 1), bs):
                 part_blocks[p].append(len(rows))
-                rows.append((p, mem[c0:c0 + bs]))
+                rows.append((p, mem_arr[c0:c0 + bs]))
         NB = len(rows)
         blocks = np.zeros((NB, bs, dim), np.float32)
         block_sq = np.zeros((NB, bs), np.float32)
         block_valid = np.zeros((NB, bs), bool)
         block_slot = np.full((NB, bs), -1, np.int64)
-        for b, (p, mem) in enumerate(rows):
-            for i, slot in enumerate(mem):
-                v = self._vecs[slot]
-                blocks[b, i] = v
-                block_sq[b, i] = float(np.dot(v, v))
-                block_valid[b, i] = True
-                block_slot[b, i] = slot
+        for b, (p, mem_arr) in enumerate(rows):
+            w = len(mem_arr)
+            if w == 0:
+                continue
+            blocks[b, :w] = self.store.vectors[mem_arr]
+            block_sq[b, :w] = self.store.sq_norms[mem_arr]
+            block_valid[b, :w] = True
+            block_slot[b, :w] = mem_arr
         self._dev_slots = jnp.asarray(block_slot)
         self._dev = (jnp.asarray(blocks), jnp.asarray(block_sq),
                      jnp.asarray(block_valid), block_slot,

@@ -126,45 +126,46 @@ class LSHIndex:
 
     def batch_search(self, queries, k: int
                      ) -> Tuple[List[List[Any]], np.ndarray]:
-        """Bucket-union candidates per query, then one batched exact
-        re-rank on device over the padded candidate matrix."""
+        """Bucket-union candidates per query, then batched exact re-rank
+        on device. Queries are GROUPED by pow2-bucketed candidate count
+        so one hot bucket doesn't inflate the whole batch's padded
+        re-rank matmul (each group pays for its own width; a handful of
+        compiled shapes total)."""
         if k <= 0:
             raise ValueError(f"k must be greater than 0, got {k}")
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         Q = queries.shape[0]
+        out_d = np.full((Q, k), INF_DIST, np.float32)
+        out_i = np.full((Q, k), -1, np.int64)
         if len(self.slots) == 0:
-            return ([[None] * k for _ in range(Q)],
-                    np.full((Q, k), INF_DIST, np.float32))
+            return [[None] * k for _ in range(Q)], out_d
         cand_lists = [self.get_candidates(q) for q in queries]
-        C = max(1, max((len(c) for c in cand_lists), default=1))
-        C = bucket_pow2(C, 8)
-        cands = np.full((Q, C), -1, np.int64)
+        groups: Dict[int, List[int]] = {}
         for qi, cl in enumerate(cand_lists):
-            cands[qi, :len(cl)] = cl
+            if cl:
+                groups.setdefault(bucket_pow2(len(cl), 8), []).append(qi)
 
-        # distances query->their own candidates. _cand_dist_dev anchors
-        # by index, so stack query vectors into a scratch device array?
-        # Simpler: compute on host via gathered numpy when tiny, device
-        # when big.
         v, sq = self._dev_arrays()
-        Qp = bucket_pow2(Q, 8)
-        qv = np.zeros((Qp, queries.shape[1]), np.float32)
-        qv[:Q] = queries
-        cp = np.full((Qp, C), -1, np.int64)
-        cp[:Q] = cands
-        d = np.asarray(_lsh_rerank(jnp.asarray(qv), v, sq,
-                                   jnp.asarray(cp), self.metric))[:Q]
-        order = np.argsort(d, axis=1, kind="stable")[:, :k]
-        dd = np.take_along_axis(d, order, axis=1)
-        ii = np.take_along_axis(cands, order, axis=1)
-        ii = np.where(dd < INF_DIST / 2, ii, -1)
-        keys = [self.slots.keys_for(row) for row in ii]
-        if dd.shape[1] < k:
-            pad = k - dd.shape[1]
-            dd = np.pad(dd, ((0, 0), (0, pad)), constant_values=INF_DIST)
-            for row in keys:
-                row.extend([None] * pad)
-        return keys, dd.astype(np.float32)
+        for C, idxs in groups.items():
+            nq = len(idxs)
+            Qp = bucket_pow2(nq, 8)
+            qv = np.zeros((Qp, queries.shape[1]), np.float32)
+            qv[:nq] = queries[idxs]
+            cp = np.full((Qp, C), -1, np.int64)
+            for j, qi in enumerate(idxs):
+                cp[j, :len(cand_lists[qi])] = cand_lists[qi]
+            d = np.asarray(_lsh_rerank(jnp.asarray(qv), v, sq,
+                                       jnp.asarray(cp), self.metric))[:nq]
+            kk = min(k, C)
+            order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            dd = np.take_along_axis(d, order, axis=1)
+            ii = np.take_along_axis(cp[:nq], order, axis=1)
+            ii = np.where(dd < INF_DIST / 2, ii, -1)
+            for j, qi in enumerate(idxs):
+                out_d[qi, :kk] = dd[j]
+                out_i[qi, :kk] = ii[j]
+        keys = [self.slots.keys_for(row) for row in out_i]
+        return keys, out_d
 
     def search(self, query, k: int) -> List[Tuple[Any, float]]:
         keys, dists = self.batch_search(np.asarray(query, np.float32)[None], k)

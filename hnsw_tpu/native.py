@@ -103,7 +103,11 @@ def _common_args(host):
 def insert_batch(host, slots: np.ndarray, slot_levels: np.ndarray) -> bool:
     """Native sequential insert on the host graph arrays. Caller must
     have ensured capacity for max(slot_levels) layers and all slots, and
-    stored the vectors. Updates host.entry/top/count."""
+    stored the vectors. Updates host.entry/top/count.
+
+    Contract: a False return guarantees the host arrays are UNTOUCHED
+    (the C++ validates the whole batch before mutating anything), so the
+    caller's Python fallback re-run is safe."""
     lib = get_lib()
     if lib is None or host.metric not in _METRIC_CODE:
         return False  # custom metrics take the Python path

@@ -283,12 +283,18 @@ int hnsw_insert_batch(float* vectors, float* sq_norms, int32_t* neighbors,
                       int32_t* top_io) {
   Ctx c = make_ctx(vectors, sq_norms, neighbors, levels, cap, D, L, W, m,
                    m0, ef_c, metric, diversify);
+  // Validate the WHOLE batch before any mutation: a nonzero return
+  // guarantees the arrays are untouched, so the caller's pure-Python
+  // fallback re-run cannot double-insert edges.
+  for (int64_t i = 0; i < n_slots; ++i)
+    if (slot_levels[i] >= L || slot_levels[i] < 0 || slots[i] < 0 ||
+        slots[i] >= cap)
+      return -1;
   int32_t entry = *entry_io, top = *top_io;
   std::vector<DS> found;
   for (int64_t i = 0; i < n_slots; ++i) {
     int64_t slot = slots[i];
     int lvl = slot_levels[i];
-    if (lvl >= L) return -1;
     if (entry < 0) {
       levels[slot] = lvl;
       entry = (int32_t)slot;
