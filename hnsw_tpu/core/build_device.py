@@ -124,6 +124,11 @@ def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric):
 
     nb_l: [cap, Wd] int32; tgt/src: [E] int32 (-1 pads skipped).
     Per target keeps the closest ``deg`` of (existing ∪ incoming).
+
+    Work scales with the EDGE count, not cap: touched targets are
+    compacted (<= E of them) and re-selected in bounded chunks — a dense
+    per-row pass materialized [cap, Wd+deg, D] gathers, which is 34 GB
+    at cap=1M and OOMed the 1M build.
     """
     cap, Wd = nb_l.shape
     E = tgt.shape[0]
@@ -148,23 +153,41 @@ def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric):
     inc = jnp.full((cap + 1, m_in), -1, jnp.int32)
     inc = inc.at[row_ix, col_ix].set(jnp.where(keep, s_s, -1), mode="drop")
     inc = inc[:cap]
-    touched = (inc >= 0).any(axis=1)                    # [cap]
 
-    anchors = jnp.where(touched, jnp.arange(cap, dtype=jnp.int32), -1)
-    comb = jnp.concatenate([nb_l, inc], axis=1)         # [cap, Wd+m_in]
-    comb_d = _row_dist_dense(vectors, sq, anchors, comb, metric)
-    # dedup incoming already present in the row
-    dup = (inc[:, :, None] == nb_l[:, None, :]).any(-1) & (inc >= 0)
-    comb_d = comb_d.at[:, Wd:].set(
-        jnp.where(dup, INF_DIST, comb_d[:, Wd:]))
-    # top-deg smallest per touched row
-    negv, pos = jax.lax.top_k(-comb_d, deg)
-    new_rows = jnp.where(-negv < INF_DIST,
-                         jnp.take_along_axis(comb, pos, axis=1), -1)
-    pad = jnp.full((cap, Wd - deg), -1, jnp.int32) if Wd > deg else None
-    if pad is not None:
-        new_rows = jnp.concatenate([new_rows, pad], axis=1)
-    return jnp.where(touched[:, None], new_rows, nb_l)
+    # compact unique touched targets (<= E), cap-pads sort to the tail
+    uniq = jnp.sort(jnp.where(is_start & (t_s < cap), t_s, cap))    # [E]
+    chunk = min(4096, E)
+    n_chunks = -(-E // chunk)
+    pad_e = n_chunks * chunk - E
+    if pad_e:
+        uniq = jnp.pad(uniq, (0, pad_e), constant_values=cap)
+
+    def step(nb_l, anchors):
+        safe = jnp.clip(anchors, 0, cap - 1)
+        valid = anchors < cap
+        rows_nb = nb_l[safe]                            # [A, Wd]
+        rows_inc = inc[safe]                            # [A, m_in]
+        comb = jnp.concatenate([rows_nb, rows_inc], axis=1)
+        anc = jnp.where(valid, anchors, -1)
+        comb_d = _row_dist_dense(vectors, sq, anc, comb, metric)
+        # dedup incoming already present in the row
+        dup = ((rows_inc[:, :, None] == rows_nb[:, None, :]).any(-1)
+               & (rows_inc >= 0))
+        comb_d = comb_d.at[:, Wd:].set(
+            jnp.where(dup, INF_DIST, comb_d[:, Wd:]))
+        negv, pos = jax.lax.top_k(-comb_d, deg)
+        new_rows = jnp.where(-negv < INF_DIST,
+                             jnp.take_along_axis(comb, pos, axis=1), -1)
+        if Wd > deg:
+            new_rows = jnp.concatenate(
+                [new_rows, jnp.full((anchors.shape[0], Wd - deg), -1,
+                                    jnp.int32)], axis=1)
+        write = jnp.where(valid, anchors, cap)          # OOB -> dropped
+        nb_l = nb_l.at[write].set(new_rows, mode="drop")
+        return nb_l, None
+
+    nb_l, _ = jax.lax.scan(step, nb_l, uniq.reshape(n_chunks, chunk))
+    return nb_l
 
 
 def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,

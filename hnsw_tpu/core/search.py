@@ -225,4 +225,19 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                                pool_size=P0, max_hops=max_hops,
                                metric=metric, precision=precision,
                                expand=expand)
+    if fast_math:
+        # f32 rerank of the head of the pool: traversal ordering ran in
+        # bf16; reported distances (and the final top-k ordering) are
+        # recomputed at HIGHEST over a small widened window.
+        R = min(P0, max(2 * k, 16))
+        ri = pi[:, :R]
+        safe = jnp.clip(ri, 0, g.cap - 1)
+        dd = gathered_dist(queries, g.vectors[safe], g.sq_norms[safe],
+                           q_sq, metric=metric,
+                           precision=jax.lax.Precision.HIGHEST)
+        dd = jnp.where(ri >= 0, dd, INF_DIST)
+        sd, si = jax.lax.sort((dd, ri), dimension=1, num_keys=1,
+                              is_stable=True)
+        si = jnp.where(sd >= INF_DIST, -1, si)
+        return sd[:, :k], si[:, :k]
     return pd[:, :k], pi[:, :k]
