@@ -126,3 +126,54 @@ def test_partitioned_graph_class_end_to_end():
     assert pg.search(v[3], 1)[0][0] != "k3"
     pg.add("new", v[3])
     assert pg.search(v[3], 1)[0][0] == "new"
+
+
+def test_multihost_shards_route_and_merge():
+    """DCN scale-out: independent slices + host merge (the reference's
+    unimplemented distributed sketch, hnsw-extensions.md:233-271)."""
+    import numpy as np
+    from hnsw_tpu.index.exact import ExactIndex
+    from hnsw_tpu.ops.topk import np_exact_topk
+    from hnsw_tpu.parallel.multihost import (LocalTransport,
+                                             MultiHostIndex)
+    from tests.conftest import make_vectors
+
+    n, d, k = 600, 16, 5
+    v = make_vectors(n, d, seed=130)
+    q = make_vectors(20, d, seed=131)
+    slices = [ExactIndex(metric="cosine") for _ in range(4)]
+    mh = MultiHostIndex(LocalTransport(slices))
+    mh.batch_add(list(range(n)), v)
+    assert len(mh) == n
+    # every slice got a nontrivial share
+    st = mh.stats()
+    assert all(c > 0 for c in st["per_slice"])
+    keys, dists = mh.batch_search(q, k)
+    gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
+    for i in range(len(q)):
+        assert keys[i] == [int(x) for x in gt_i[i]]
+    # delete routes to the owning slice
+    assert mh.delete(5)
+    assert not mh.delete(5)
+    assert len(mh) == n - 1
+    assert mh.search(v[5], 1)[0][0] != 5
+
+
+def test_multihost_replicas_survive_slice_loss():
+    import numpy as np
+    from hnsw_tpu.index.exact import ExactIndex
+    from hnsw_tpu.parallel.multihost import (LocalTransport,
+                                             MultiHostIndex)
+    from tests.conftest import make_vectors
+
+    n, d = 200, 8
+    v = make_vectors(n, d, seed=132)
+    slices = [ExactIndex(metric="cosine") for _ in range(3)]
+    mh = MultiHostIndex(LocalTransport(slices), replicas=2)
+    mh.batch_add(list(range(n)), v)
+    assert len(mh) == n
+    # kill one slice: every key still served by its replica
+    dead = 1
+    slices[dead].batch_delete(slices[dead].keys())
+    keys, _ = mh.batch_search(v[:32], 1)
+    assert [r[0] for r in keys] == list(range(32))
