@@ -80,9 +80,9 @@ def main():
     dev = g.device_graph()
     qd = jnp.asarray(queries)
 
-    for ef, E in ((64, 8), (128, 8), (192, 8)):
+    for ef, E in ((96, 1), (192, 1), (256, 2), (320, 2), (384, 4)):
         f = lambda: search_graph(dev, qd, k=k, ef=ef, metric="cosine",
-                                 max_hops=max(32, 2 * ef // E),
+                                 max_hops=max(128, 2 * ef // E),
                                  fast_math=True, expand=E)
         r = f(); r[0].block_until_ready()
         t0 = time.perf_counter()
@@ -160,24 +160,62 @@ def main():
     emit({"config": "batch_delete", "metric": "recall_after_delete",
           "value": round(recall_of(keys, gt3_keys, k), 4),
           "platform": platform})
+    # scoped post-delete refinement recovers the degraded recall
+    g3b = Graph(m=16, seed=0)
+    g3b.build(list(range(n)), data, wave=1024)
+    t0 = time.perf_counter()
+    g3b.batch_delete(dele, refine=True)
+    emit({"config": "batch_delete", "metric": "delete_refine_seconds",
+          "n_deleted": len(dele),
+          "value": round(time.perf_counter() - t0, 2),
+          "platform": platform})
+    keys, _ = g3b.batch_search(queries[:64], k, ef=96)
+    emit({"config": "batch_delete", "metric": "recall_after_refine",
+          "value": round(recall_of(keys, gt3_keys, k), 4),
+          "platform": platform})
 
-    # ---- config 4: adaptive hybrid ----------------------------------------
+    # ---- config 4: adaptive hybrid (batched strategy-grouped dispatch) ----
     a = AdaptiveHybridIndex(hybrid_config=HybridConfig(exact_threshold=500))
     n4 = min(n, 3000)
     a.batch_add(list(range(n4)), data[:n4])
-    lat = []
-    for q in queries[:100]:
-        t0 = time.perf_counter()
-        a.search(q, k)
-        lat.append(time.perf_counter() - t0)
+    a.batch_search(queries[:256], k)           # warm every strategy
+    t0 = time.perf_counter()
+    res = a.batch_search(queries[:256], k)
+    dt = time.perf_counter() - t0
     stats = a.get_stats()
     emit({"config": "adaptive_hybrid", "n": n4,
-          "avg_ms": round(float(np.mean(lat)) * 1000, 2),
-          "p95_ms": round(float(np.percentile(lat, 95)) * 1000, 2),
+          "avg_ms": round(dt / 256 * 1000, 3),
+          "qps": round(256 / dt, 0),
           "strategies": {s: v["count"] for s, v in
                          stats["strategies"].items()
                          if isinstance(v, dict)},
           "platform": platform})
+
+    # ---- config 4b: recall-aware routing (target_recall contract) ---------
+    from hnsw_tpu import HybridIndex
+    for kind in ("random", "clustered"):
+        if kind == "random":
+            base, qs = data, queries[:256]
+        else:
+            from benchmarks.datasets import synthetic_standin
+            base, qs = synthetic_standin(n, d, 256, seed=3,
+                                         kind="clustered")
+        h = HybridIndex(HybridConfig(exact_threshold=100,
+                                     large_strategy="ivf",
+                                     num_partitions=32,
+                                     partition_size=max(n // 32, 1)))
+        h.batch_add(list(range(n)), base)
+        for target in (0.9, 0.95, 0.99):
+            keys, _ = h.batch_search(qs, k, target_recall=target)  # warm
+            t0 = time.perf_counter()
+            keys, _ = h.batch_search(qs, k, target_recall=target)
+            dt = time.perf_counter() - t0
+            _, gtt = np_exact_topk(qs, base, k, "cosine")
+            emit({"config": f"target_recall_{kind}", "n": n,
+                  "target": target, "route": h.stats.last_strategy,
+                  "qps": round(len(qs) / dt, 0),
+                  "recall@10": round(recall_of(keys, gtt, k), 4),
+                  "platform": platform})
 
     # ---- config 5: faceted + negative overhead ------------------------------
     fg = FacetedGraph(g)
