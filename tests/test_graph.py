@@ -188,3 +188,24 @@ def test_growth_recompile_boundaries():
         if i in (7, 8, 15, 16, 33):
             res = g.search(v[i], 1)
             assert res[0][0] == i
+
+
+def test_fast_math_reports_f32_exact_distances():
+    # fast_math traverses in bf16 but reported distances (and top-k
+    # ordering) are reranked at HIGHEST precision
+    import numpy as np
+    from hnsw_tpu import Graph
+    from hnsw_tpu.ops.distance import np_pairwise_dist
+    from tests.conftest import make_vectors
+    v = make_vectors(500, 32, seed=140)
+    q = make_vectors(8, 32, seed=141)
+    g = Graph(seed=0)
+    g.batch_add(list(range(500)), v)
+    g.fast_math = True
+    keys, dists = g.batch_search(q, 5, ef=64)
+    for i in range(8):
+        for kk, dd in zip(keys[i], dists[i]):
+            if kk is None:
+                continue
+            true_d = np_pairwise_dist(q[i][None], v[kk][None])[0, 0]
+            assert abs(dd - true_d) < 1e-4, (kk, dd, true_d)
