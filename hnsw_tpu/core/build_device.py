@@ -242,6 +242,11 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     alive_dev = levels_dev >= 0
 
     n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _progress = _os.environ.get("HNSW_TPU_BUILD_PROGRESS") == "1"
+    _t_start = _time.perf_counter()
     w0 = start
     while w0 < n_new:
         # ramp: a wave may be up to 4x the current graph size (the
@@ -330,6 +335,11 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             host.top = wmax
             host.entry = int(wslots[int(np.argmax(wlevels))])
         w0 = w1
+        if _progress:
+            jax.block_until_ready(nb_dev)
+            print(f"# build wave done: {w0}/{n_new} "
+                  f"(+{W} @ {_time.perf_counter() - _t_start:.0f}s)",
+                  file=_sys.stderr, flush=True)
 
     # ---- single D2H sync ----------------------------------------------------
     host.neighbors[:] = np.asarray(nb_dev[:, :ncap])

@@ -85,14 +85,13 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
     rows = jnp.arange(B)
 
     # NO visited set. The pool is the dedup AND termination structure:
-    #   * each edge (u, v) is scored exactly once per expansion of u,
-    #     and u expands at most once (the 'expanded' flag survives
-    #     merges — the stable sort keeps the pool copy first);
+    #   * candidates already in the pool are masked by a broadcast
+    #     compare against pool ids (cheap VPU work) before scoring;
     #   * a node evicted from the pool can never re-enter: eviction
     #     means P better entries existed, and the pool only improves;
     #   * same-hop duplicates (diamond frontiers) carry equal distances,
     #     land adjacent after the stable sort, and are masked by
-    #     _dedup_adjacent.
+    #     _dedup_adjacent — the freed slots refill at the next merge.
     # The [B, cap] bitmask / id-table this replaces measured 5.6 ms/hop
     # at B=1024, cap=16k — 4x the entire gather+score cost. The price is
     # re-scoring diamond-overlap candidates (~1.2 ms/hop worst case).
@@ -135,6 +134,15 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
 
         nbrs = neigh[cur_safe].reshape(B, E * M)             # [B, E*M]
         nb_ok = (nbrs >= 0) & jnp.repeat(take, M, axis=1)
+        # Mask candidates already in the pool: without this, dups of the
+        # best pool entries (equal-best distances) crowd out legitimate
+        # tail entries at EVERY merge and then become dedup holes — the
+        # pool shrinks over hops (catastrophic on small graphs, wasted
+        # slots at scale). A [B, C, P] broadcast compare is pure VPU
+        # work (~13 us at E=2) — unlike the scatter/gather visited
+        # structures this design removed.
+        in_pool = (nbrs[:, :, None] == pool_i[:, None, :]).any(-1)
+        nb_ok = nb_ok & (~in_pool)
         nb_safe = jnp.clip(jnp.where(nb_ok, nbrs, 0), 0, cap - 1)
 
         cand_vecs = g.vectors[nb_safe]                      # [B, E*M, D]
