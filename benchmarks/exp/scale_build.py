@@ -25,6 +25,7 @@ def emit(rec):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     wave = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    kind = sys.argv[3] if len(sys.argv) > 3 else "random"
     d, k = 128, 10
     from hnsw_tpu.utils.warmup import warmup_transfers
     warmup_transfers()
@@ -35,12 +36,16 @@ def main():
     from hnsw_tpu.ops.topk import exact_topk
 
     rng = np.random.default_rng(0)
-    data = rng.standard_normal((n, d)).astype(np.float32)
+    if kind == "clustered":
+        from benchmarks.datasets import synthetic_standin
+        data, _ = synthetic_standin(n, d, 1, seed=0, kind="clustered")
+    else:
+        data = rng.standard_normal((n, d)).astype(np.float32)
     g = Graph(m=16, ef_search=20, metric="cosine", seed=0)
     t0 = time.perf_counter()
     g.build(list(range(n)), data, wave=wave, method="device")
     build_s = time.perf_counter() - t0
-    emit({"op": "device_build", "n": n, "wave": wave,
+    emit({"op": "device_build", "n": n, "wave": wave, "kind": kind,
           "seconds": round(build_s, 1)})
 
     dev = g.device_graph()
@@ -59,7 +64,7 @@ def main():
         return np.asarray(ii), 3 * B / (time.perf_counter() - t0)
 
     gt, exact_qps = gt_and_exact()
-    emit({"op": "exact", "n": n, "qps": round(exact_qps),
+    emit({"op": "exact", "n": n, "kind": kind, "qps": round(exact_qps),
           "recall": 1.0})
 
     for ef, E in ((96, 2), (192, 2), (384, 2), (768, 4), (1536, 8)):
@@ -76,7 +81,29 @@ def main():
         ii = np.asarray(ii)
         hits = sum(len(set(map(int, ii[r])) & set(map(int, gt[r])))
                    for r in range(B))
-        emit({"op": "hnsw", "n": n, "ef": ef, "expand": E,
+        emit({"op": "hnsw", "n": n, "kind": kind, "ef": ef, "expand": E,
+              "qps": round(B / dt), "recall": round(hits / (B * k), 4)})
+
+    # IVF tier (the large-N strategy; shines on clustered data)
+    from hnsw_tpu.index.ivf import IVFIndex
+    P = max(64, n // 4096)
+    ivf = IVFIndex(num_partitions=P, nprobe=8, kmeans_iters=5)
+    t0 = time.perf_counter()
+    ivf.build(list(range(n)), data)
+    emit({"op": "ivf_build", "n": n, "kind": kind, "partitions": P,
+          "seconds": round(time.perf_counter() - t0, 1)})
+    qn = np.asarray(q)
+    for nprobe in (4, 16, 64):
+        if nprobe > P:
+            continue
+        ivf.nprobe = nprobe
+        ivf.batch_search(qn, k)  # warm
+        t0 = time.perf_counter()
+        keys, _ = ivf.batch_search(qn, k)
+        dt = time.perf_counter() - t0
+        hits = sum(len({kk for kk in keys[r] if kk is not None}
+                       & set(map(int, gt[r]))) for r in range(B))
+        emit({"op": "ivf", "n": n, "kind": kind, "nprobe": nprobe,
               "qps": round(B / dt), "recall": round(hits / (B * k), 4)})
 
 
