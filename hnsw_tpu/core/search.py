@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from hnsw_tpu.config import canonical_metric
 from hnsw_tpu.core.state import DeviceGraph
-from hnsw_tpu.ops.distance import INF_DIST, gathered_dist
+from hnsw_tpu.ops.distance import INF_DIST, gathered_dist, registered
 
 
 def _dedup_adjacent(pool_d, pool_i, expanded):
@@ -51,6 +51,36 @@ def _dedup_adjacent(pool_d, pool_i, expanded):
     return (jnp.where(dup, INF_DIST, pool_d),
             jnp.where(dup, -1, pool_i),
             expanded | dup)
+
+
+def _score_hop(g: DeviceGraph, queries, q_sq, nb_safe, metric, precision):
+    """Distances from each query to its gathered candidate slots.
+
+    When the graph carries an int8 traversal store (g.qvec), the hop
+    gathers 1-byte rows instead of 4-byte f32 — the hop is gather-bound,
+    so this is the VERDICT "int8 traversal + f32 rerank" lever. The
+    per-row dequant scale folds into the Gram epilogue (one [B, C]
+    multiply), never touching the [B, C, D] tensor. Custom registered
+    metrics consume raw vectors and bypass quantization.
+    """
+    if g.qvec is not None and registered(metric) is None:
+        cq = g.qvec[nb_safe]                         # [B, C, D] int8
+        qv = jnp.einsum("bd,bcd->bc", queries.astype(jnp.bfloat16),
+                        cq.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        qv = qv * g.qscale[nb_safe]
+        if metric == "dot":
+            return -qv
+        cand_sq = g.sq_norms[nb_safe]
+        if metric == "cosine":
+            return 1.0 - qv * jax.lax.rsqrt(
+                q_sq[:, None] * cand_sq + 1e-30)
+        d = jnp.maximum(q_sq[:, None] + cand_sq - 2.0 * qv, 0.0)
+        return jnp.sqrt(d) if metric == "l2" else d
+    cand_vecs = g.vectors[nb_safe]
+    cand_sq = g.sq_norms[nb_safe]
+    return gathered_dist(queries, cand_vecs, cand_sq, q_sq,
+                         metric=metric, precision=precision)
 
 
 def _entry_dist(g: DeviceGraph, queries, q_sq, entry_ids, metric, precision):
@@ -145,10 +175,7 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
         nb_ok = nb_ok & (~in_pool)
         nb_safe = jnp.clip(jnp.where(nb_ok, nbrs, 0), 0, cap - 1)
 
-        cand_vecs = g.vectors[nb_safe]                      # [B, E*M, D]
-        cand_sq = g.sq_norms[nb_safe]
-        d = gathered_dist(queries, cand_vecs, cand_sq, q_sq,
-                          metric=metric, precision=precision)
+        d = _score_hop(g, queries, q_sq, nb_safe, metric, precision)
         d = jnp.where(nb_ok, d, INF_DIST)
         new_i = jnp.where(nb_ok, nbrs, -1)
 
@@ -233,10 +260,11 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                                pool_size=P0, max_hops=max_hops,
                                metric=metric, precision=precision,
                                expand=expand)
-    if fast_math:
+    if fast_math or g.qvec is not None:
         # f32 rerank of the head of the pool: traversal ordering ran in
-        # bf16; reported distances (and the final top-k ordering) are
-        # recomputed at HIGHEST over a small widened window.
+        # bf16 (and/or against the int8 store); reported distances (and
+        # the final top-k ordering) are recomputed at HIGHEST over a
+        # small widened window.
         R = min(P0, max(2 * k, 16))
         ri = pi[:, :R]
         safe = jnp.clip(ri, 0, g.cap - 1)

@@ -20,7 +20,7 @@ index's life).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +33,12 @@ class DeviceGraph(NamedTuple):
     levels: jnp.ndarray    # [cap] int32, -1 = unused
     alive: jnp.ndarray     # [cap] bool
     entry: jnp.ndarray     # [] int32
+    #: optional int8 traversal store: hop scoring gathers these (4x fewer
+    #: HBM bytes than f32); the final pool is reranked against
+    #: ``vectors`` in f32. qscale is the per-row dequant factor
+    #: (absmax/127), folded into the Gram epilogue, not the gather.
+    qvec: Optional[jnp.ndarray] = None     # [cap, D] int8
+    qscale: Optional[jnp.ndarray] = None   # [cap] float32
 
     @property
     def cap(self) -> int:
@@ -58,11 +64,26 @@ def bucket_pow2(n: int, minimum: int = 8) -> int:
     return b
 
 
+def quantize_rows(vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row symmetric int8 quantization.
+
+    Returns (q int8[N, D], scale f32[N]) with scale = absmax/127 so that
+    ``q * scale`` reconstructs the row. Zero rows get scale 0.
+    """
+    v = np.asarray(vectors, np.float32)
+    absmax = np.max(np.abs(v), axis=-1)
+    scale = absmax / 127.0
+    inv = np.where(scale > 0, 1.0 / np.where(scale > 0, scale, 1.0), 0.0)
+    q = np.clip(np.rint(v * inv[:, None]), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
 def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
               neighbors: np.ndarray, levels: np.ndarray,
               alive: np.ndarray, entry: int,
               cap_pad: int | None = None,
-              store_dtype=np.float32) -> DeviceGraph:
+              store_dtype=np.float32,
+              quantize: bool = False) -> DeviceGraph:
     """Upload padded host arrays to device, bucketing capacity."""
     n = vectors.shape[0]
     cap = cap_pad if cap_pad is not None else bucket_pow2(n)
@@ -91,6 +112,12 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
         safe = np.clip(nb, 0, al.shape[0] - 1)
         nb = np.where((nb >= 0) & al[safe], nb, -1)
 
+    qvec = qscale = None
+    if quantize and vectors.size:
+        q, s = quantize_rows(vectors.astype(np.float32))
+        qvec = jnp.asarray(pad_rows(q, 0))
+        qscale = jnp.asarray(pad_rows(s, 0))
+
     return DeviceGraph(
         vectors=jnp.asarray(pad_rows(vectors.astype(store_dtype), 0)),
         sq_norms=jnp.asarray(pad_rows(sq_norms.astype(np.float32), 0)),
@@ -98,4 +125,6 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
         levels=jnp.asarray(pad_rows(levels.astype(np.int32), -1)),
         alive=jnp.asarray(pad_rows(al, False)),
         entry=jnp.asarray(np.int32(entry)),
+        qvec=qvec,
+        qscale=qscale,
     )

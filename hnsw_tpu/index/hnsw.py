@@ -65,6 +65,21 @@ class Graph:
         #: bf16 traversal matmuls; exact reported distances off. Flip on
         #: for serving throughput.
         self.fast_math = False
+        self._quant_traversal = False
+
+    @property
+    def quant_traversal(self) -> bool:
+        """Serve hops from an int8 copy of the store (4x fewer gather
+        bytes — the hop is gather-bound) with automatic f32 rerank of
+        the pool head. Costs +25% HBM for the int8 copy. No effect on
+        custom registered metrics (they consume raw vectors)."""
+        return self._quant_traversal
+
+    @quant_traversal.setter
+    def quant_traversal(self, on: bool) -> None:
+        if bool(on) != self._quant_traversal:
+            self._quant_traversal = bool(on)
+            self._dirty = True
 
     # -- invariants (graph.go:916-937) ----------------------------------------
     def validate(self) -> None:
@@ -230,7 +245,8 @@ class Graph:
                 levels[:use],
                 (self.store.alive[:use] if self.store.alive is not None
                  else np.zeros((0,), bool)),
-                entry, cap_pad=cap, store_dtype=sd)
+                entry, cap_pad=cap, store_dtype=sd,
+                quantize=self._quant_traversal)
             self._dirty = False
         return self._dev
 

@@ -99,8 +99,7 @@ def sharded_graph_search(g: DeviceGraph, queries: jnp.ndarray, *, k: int,
         raise ValueError(
             f"query count {queries.shape[0]} not divisible by mesh size "
             f"{n_dev}; pad the batch")
-    g_specs = DeviceGraph(vectors=P(), sq_norms=P(), neighbors=P(),
-                          levels=P(), alive=P(), entry=P())
+    g_specs = jax.tree.map(lambda _: P(), g)  # replicated (incl. qvec)
     f = jax.shard_map(local, mesh=mesh, in_specs=(g_specs, P(axis)),
                       out_specs=(P(axis), P(axis)))
     return jax.jit(f)(g, queries)

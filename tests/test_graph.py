@@ -209,3 +209,34 @@ def test_fast_math_reports_f32_exact_distances():
                 continue
             true_d = np_pairwise_dist(q[i][None], v[kk][None])[0, 0]
             assert abs(dd - true_d) < 1e-4, (kk, dd, true_d)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_quant_traversal_recall_and_f32_distances(metric):
+    # int8 traversal store: hops gather 1-byte rows; the pool head is
+    # reranked in f32, so recall stays near the f32 path and reported
+    # distances are exact.
+    from hnsw_tpu.ops.distance import np_pairwise_dist
+    n, d, k = 600, 32, 10
+    v = make_vectors(n, d, seed=11)
+    q = make_vectors(50, d, seed=12)
+    g = Graph(metric=metric, ef_search=40, seed=0)
+    g.batch_add(list(range(n)), v)
+    keys_f32, _ = g.batch_search(q, k, ef=80)
+    g.quant_traversal = True
+    assert g.device_graph().qvec is not None
+    keys_q, dists_q = g.batch_search(q, k, ef=80)
+    _, gt = np_exact_topk(q, v, k, metric)
+    r_f32 = recall_at_k(keys_f32, gt, k)
+    r_q = recall_at_k(keys_q, gt, k)
+    assert r_q >= r_f32 - 0.02, (r_q, r_f32)
+    # reported distances are reranked f32-exact
+    for i in range(5):
+        for kk, dd in zip(keys_q[i], dists_q[i]):
+            if kk is None:
+                continue
+            true_d = np_pairwise_dist(q[i][None], v[kk][None], metric)[0, 0]
+            assert abs(dd - true_d) < 1e-4, (kk, dd, true_d)
+    # toggling back serves the unquantized path again
+    g.quant_traversal = False
+    assert g.device_graph().qvec is None
