@@ -74,13 +74,19 @@ def _row_dist_dense(vectors, sq, anchors, others, metric):
     static_argnames=("deg", "n_cand", "metric", "diversify"))
 def _assemble_refine_rows(vectors, sq, cand_d_l, cand_i_l, wslots,
                           part_idx, *, deg, n_cand, metric, diversify):
-    """Refinement rows: snapshot candidates only, self-excluded."""
+    """Refinement rows: snapshot candidates only, self-excluded.
+
+    Candidate distances are RE-SCORED in f32 (_row_dist_dense) rather
+    than trusting the descent pool's values — the descent runs at
+    DEFAULT (bf16) precision, optionally over the int8 store, so its
+    distances order the pool but should not rank edge selection."""
     W = wslots.shape[0]
     safe_p = jnp.clip(part_idx, 0, W - 1)
     sc_i = cand_i_l[safe_p].astype(jnp.int32)
     self_slot = wslots[safe_p][:, None]
-    sc_d = jnp.where((sc_i >= 0) & (sc_i != self_slot),
-                     cand_d_l[safe_p], INF_DIST).astype(jnp.float32)
+    anchors = jnp.where(part_idx >= 0, wslots[safe_p].astype(jnp.int32), -1)
+    sc_d = _row_dist_dense(vectors, sq, anchors, sc_i, metric)
+    sc_d = jnp.where((sc_i >= 0) & (sc_i != self_slot), sc_d, INF_DIST)
     rows = _diverse_select_dev(sc_i, sc_d, vectors, sq, deg=deg,
                                metric=metric, diversify=diversify)
     return jnp.where((part_idx >= 0)[:, None], rows, -1)
@@ -104,7 +110,12 @@ def _assemble_wave_rows(vectors, sq, cand_d_l, cand_i_l, intra_d,
     W = intra_d.shape[0]
     safe_p = jnp.clip(part_idx, 0, W - 1)
     sc_i = cand_i_l[safe_p].astype(jnp.int32)          # [Pp, n_cand]
-    sc_d = jnp.where(sc_i >= 0, cand_d_l[safe_p], INF_DIST)
+    # f32 rescore (see _assemble_refine_rows): the descent's pool
+    # distances are approximate (bf16 / int8 store); edge selection
+    # ranks on exact distances.
+    anchors = jnp.where(part_idx >= 0, wslots[safe_p].astype(jnp.int32), -1)
+    sc_d = _row_dist_dense(vectors, sq, anchors, sc_i, metric)
+    sc_d = jnp.where(sc_i >= 0, sc_d, INF_DIST)
     iw = intra_d[safe_p]                                # [Pp, W]
     iw = jnp.where(in_layer[None, :], iw, INF_DIST)
     kk = min(intra_k, W)
@@ -192,8 +203,16 @@ def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric):
 
 def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                        wave: int = 2048,
-                       intra_k: Optional[int] = None) -> None:
-    """Device-resident wave insertion; syncs host arrays once at the end."""
+                       intra_k: Optional[int] = None,
+                       quant_descent: bool = False) -> None:
+    """Device-resident wave insertion; syncs host arrays once at the end.
+
+    ``quant_descent`` gives the construction descent an int8 copy of the
+    store (one-time quantization — build vectors are immutable), cutting
+    the descent's gather bytes 4x. Edge SELECTION still scores raw-f32
+    at HIGHEST precision (_diverse_select_dev / _reverse_update), so
+    only the candidate pool ordering sees quantization noise.
+    """
     cfg = host.cfg
     metric = canonical_metric(host.metric)
     intra_k = intra_k if intra_k is not None else cfg.m_base
@@ -240,6 +259,13 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                                   (L_all, cap_pad, Wd)))
     levels_dev = jnp.asarray(pad_rows(host.levels[:ncap], -1, (cap_pad,)))
     alive_dev = levels_dev >= 0
+    qvec_dev = qscale_dev = None
+    from hnsw_tpu.ops.distance import registered
+    if quant_descent and registered(metric) is None:
+        from hnsw_tpu.core.state import quantize_rows
+        qh, sh = quantize_rows(store.vectors[:ncap])
+        qvec_dev = jnp.asarray(pad_rows(qh, 0, (cap_pad, store.dim)))
+        qscale_dev = jnp.asarray(pad_rows(sh, 0, (cap_pad,)))
 
     n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
     import os as _os
@@ -266,14 +292,17 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
         g = DeviceGraph(vectors=vectors_dev, sq_norms=sq_dev,
                         neighbors=nb_dev, levels=levels_dev,
                         alive=alive_dev,
-                        entry=jnp.asarray(np.int32(host.entry)))
+                        entry=jnp.asarray(np.int32(host.entry)),
+                        qvec=qvec_dev, qscale=qscale_dev)
         wq = vectors_dev[wsl_dev]
         cand_d, cand_i = construction_descent(
             g, wq, ef=max(cfg.ef_construction, n_cand), m_out=n_cand,
             metric=metric, max_hops=cfg.max_hops)       # [L_all, cw, n_cand]
 
+        # HIGHEST so intra-wave distances rank consistently against the
+        # f32-rescored snapshot candidates in _assemble_wave_rows
         intra = pairwise_dist(wq, wq, metric=metric,
-                              precision=jax.lax.Precision.DEFAULT)
+                              precision=jax.lax.Precision.HIGHEST)
         eye = jnp.arange(cur_wave)
         intra = intra.at[eye, eye].set(INF_DIST)
         # padded rows must not act as candidates
@@ -347,7 +376,7 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
 
 
 def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
-                  slots=None) -> None:
+                  slots=None, quant_descent: bool = False) -> None:
     """Second-pass graph refinement.
 
     Re-runs the construction descent for every node against the FINAL
@@ -390,6 +419,13 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
                                   (L_all, cap_pad, Wd)))
     levels_dev = jnp.asarray(pad_rows(host.levels[:ncap], -1, (cap_pad,)))
     alive_dev = levels_dev >= 0
+    qvec_dev = qscale_dev = None
+    from hnsw_tpu.ops.distance import registered
+    if quant_descent and registered(metric) is None:
+        from hnsw_tpu.core.state import quantize_rows
+        qh, sh = quantize_rows(store.vectors[:ncap])
+        qvec_dev = jnp.asarray(pad_rows(qh, 0, (cap_pad, store.dim)))
+        qscale_dev = jnp.asarray(pad_rows(sh, 0, (cap_pad,)))
     n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
 
     for w0 in range(0, len(alive_slots), wave):
@@ -404,7 +440,8 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
         g = DeviceGraph(vectors=vectors_dev, sq_norms=sq_dev,
                         neighbors=nb_dev, levels=levels_dev,
                         alive=alive_dev,
-                        entry=jnp.asarray(np.int32(host.entry)))
+                        entry=jnp.asarray(np.int32(host.entry)),
+                        qvec=qvec_dev, qscale=qscale_dev)
         wq = vectors_dev[wsl_dev]
         cand_d, cand_i = construction_descent(
             g, wq, ef=max(cfg.ef_construction, n_cand), m_out=n_cand,

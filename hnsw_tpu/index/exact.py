@@ -114,28 +114,17 @@ class ExactIndex:
         # Pallas fused kernel wins at large N on TPU (measured 1.4x at
         # 100k x 128: the score matrix never reaches HBM); XLA HIGHEST
         # stays the ground-truth path at small N / large k / CPU.
-        use_fused = (v.shape[0] >= 32768 and k <= 32
+        use_fused = (v.shape[0] >= 32768 and k <= 120
                      and self.metric in ("cosine", "l2", "sqeuclidean",
                                          "dot")
                      and jax.devices()[0].platform == "tpu")
         if use_fused:
+            # exact_topk_fused reranks its winner pool in f32 internally,
+            # so fused results are exact-ordered for both precisions.
             from hnsw_tpu.ops.pallas_exact import exact_topk_fused
             d, i = exact_topk_fused(jnp.asarray(queries), v, sq, alive,
                                     k=k, metric=self.metric,
                                     fast_math=self.fast_math)
-            if self.fast_math:
-                # f32 rerank of the bf16 winners
-                from hnsw_tpu.ops.distance import gathered_dist
-                qf = jnp.asarray(queries)
-                safe = jnp.clip(i, 0, v.shape[0] - 1)
-                dd = gathered_dist(qf, v[safe], sq[safe],
-                                   jnp.sum(qf * qf, axis=-1),
-                                   metric=self.metric,
-                                   precision=jax.lax.Precision.HIGHEST)
-                dd = jnp.where(i >= 0, dd, INF_DIST)
-                from hnsw_tpu.ops.topk import topk_smallest
-                d, pos = topk_smallest(dd, k)
-                i = jnp.take_along_axis(i, pos, axis=1)
         else:
             d, i = exact_topk(jnp.asarray(queries), v, sq, alive,
                               k=k, metric=self.metric,

@@ -124,7 +124,8 @@ class Graph:
         self._dirty = True
 
     def build(self, keys: Sequence[Hashable], vectors,
-              wave: int = 1024, method: str = "auto") -> None:
+              wave: int = 1024, method: str = "auto",
+              quant_descent: bool = False) -> None:
         """Bulk construction. Existing keys are replaced; duplicate keys
         within the batch are an error.
 
@@ -154,7 +155,8 @@ class Graph:
             self.host.insert_many(list(slot_list))
         else:
             from hnsw_tpu.core.build_device import bulk_insert_device
-            bulk_insert_device(self.host, slot_list, wave=wave)
+            bulk_insert_device(self.host, slot_list, wave=wave,
+                               quant_descent=quant_descent)
         self._dirty = True
 
     def refine(self, wave: int = 2048, slots=None) -> None:
