@@ -26,6 +26,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     wave = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     kind = sys.argv[3] if len(sys.argv) > 3 else "random"
+    quant = len(sys.argv) > 4 and sys.argv[4] == "quant"
     d, k = 128, 10
     from hnsw_tpu.utils.warmup import warmup_transfers
     warmup_transfers()
@@ -43,10 +44,11 @@ def main():
         data = rng.standard_normal((n, d)).astype(np.float32)
     g = Graph(m=16, ef_search=20, metric="cosine", seed=0)
     t0 = time.perf_counter()
-    g.build(list(range(n)), data, wave=wave, method="device")
+    g.build(list(range(n)), data, wave=wave, method="device",
+            quant_descent=quant)
     build_s = time.perf_counter() - t0
     emit({"op": "device_build", "n": n, "wave": wave, "kind": kind,
-          "seconds": round(build_s, 1)})
+          "quant_descent": quant, "seconds": round(build_s, 1)})
 
     dev = g.device_graph()
     B = 1024

@@ -84,10 +84,8 @@ def _score_hop(g: DeviceGraph, queries, q_sq, nb_safe, metric, precision):
 
 
 def _entry_dist(g: DeviceGraph, queries, q_sq, entry_ids, metric, precision):
-    vecs = g.vectors[entry_ids]             # [B, D]
-    sq = g.sq_norms[entry_ids]              # [B]
-    d = gathered_dist(queries, vecs[:, None, :], sq[:, None], q_sq,
-                      metric=metric, precision=precision)[:, 0]
+    safe = jnp.clip(entry_ids, 0, g.cap - 1)
+    d = _score_hop(g, queries, q_sq, safe[:, None], metric, precision)[:, 0]
     return jnp.where(entry_ids >= 0, d, INF_DIST)
 
 
@@ -207,11 +205,11 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric", "max_hops", "fast_math",
-                     "expand", "ef_upper"))
+                     "expand", "ef_upper", "device_rerank"))
 def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                  metric: str = "cosine", max_hops: int = 128,
                  fast_math: bool = False, expand: int = 1,
-                 ef_upper: int = 0
+                 ef_upper: int = 0, device_rerank: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full hierarchical search for a batch of queries.
 
@@ -229,6 +227,12 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
     ``fast_math`` drops per-hop einsums to DEFAULT matmul precision
     (bf16 inputs on MXU) — fine for traversal ordering; final layer-0
     distances are still computed at HIGHEST for exact reported values.
+
+    ``device_rerank=False`` skips the f32 rerank of the pool head and
+    returns traversal-ordered results — the capacity ("HBM-quantized")
+    serving mode where g.vectors is a placeholder and the caller reranks
+    on host against a disk-resident store (the role of the reference's
+    disk-backed searchLayer, parquet/graph.go:924-1076).
     """
     metric = canonical_metric(metric)
     precision = (jax.lax.Precision.DEFAULT if fast_math
@@ -260,7 +264,7 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                                pool_size=P0, max_hops=max_hops,
                                metric=metric, precision=precision,
                                expand=expand)
-    if fast_math or g.qvec is not None:
+    if device_rerank and (fast_math or g.qvec is not None):
         # f32 rerank of the head of the pool: traversal ordering ran in
         # bf16 (and/or against the int8 store); reported distances (and
         # the final top-k ordering) are recomputed at HIGHEST over a

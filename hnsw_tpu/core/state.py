@@ -42,7 +42,10 @@ class DeviceGraph(NamedTuple):
 
     @property
     def cap(self) -> int:
-        return self.vectors.shape[0]
+        # from neighbors, not vectors: in the HBM-quantized capacity
+        # mode ``vectors`` is a [1, D] placeholder (qvec serves hops,
+        # the host reranks against the disk store)
+        return self.neighbors.shape[1]
 
     @property
     def dim(self) -> int:
@@ -83,8 +86,16 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
               alive: np.ndarray, entry: int,
               cap_pad: int | None = None,
               store_dtype=np.float32,
-              quantize: bool = False) -> DeviceGraph:
-    """Upload padded host arrays to device, bucketing capacity."""
+              quantize: bool = False,
+              hbm_vectors: bool = True) -> DeviceGraph:
+    """Upload padded host arrays to device, bucketing capacity.
+
+    ``hbm_vectors=False`` (requires quantize=True) uploads only the int8
+    store + a [1, D] f32 placeholder — the capacity mode where raw
+    vectors stay on disk/host and searches rerank off-device.
+    """
+    if not hbm_vectors and not quantize:
+        raise ValueError("hbm_vectors=False requires quantize=True")
     n = vectors.shape[0]
     cap = cap_pad if cap_pad is not None else bucket_pow2(n)
     L, _, m = neighbors.shape
@@ -118,8 +129,13 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
         qvec = jnp.asarray(pad_rows(q, 0))
         qscale = jnp.asarray(pad_rows(s, 0))
 
+    if hbm_vectors:
+        vec_dev = jnp.asarray(pad_rows(vectors.astype(store_dtype), 0))
+    else:
+        dim = vectors.shape[1] if vectors.ndim == 2 and vectors.size else 1
+        vec_dev = jnp.zeros((1, dim), jnp.float32)
     return DeviceGraph(
-        vectors=jnp.asarray(pad_rows(vectors.astype(store_dtype), 0)),
+        vectors=vec_dev,
         sq_norms=jnp.asarray(pad_rows(sq_norms.astype(np.float32), 0)),
         neighbors=jnp.asarray(pad_rows(nb, -1)),
         levels=jnp.asarray(pad_rows(levels.astype(np.int32), -1)),

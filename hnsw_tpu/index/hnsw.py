@@ -66,6 +66,7 @@ class Graph:
         #: for serving throughput.
         self.fast_math = False
         self._quant_traversal = False
+        self._hbm_mode = "full"
 
     @property
     def quant_traversal(self) -> bool:
@@ -79,6 +80,33 @@ class Graph:
     def quant_traversal(self, on: bool) -> None:
         if bool(on) != self._quant_traversal:
             self._quant_traversal = bool(on)
+            self._dirty = True
+
+    @property
+    def hbm_mode(self) -> str:
+        """HBM residency of the vector store.
+
+        "full"      — f32 vectors in HBM (default).
+        "quantized" — HBM holds ONLY the int8 traversal store (+ graph
+          structure); raw vectors stay in ``self.store`` (RAM or an
+          io.mmap_store.MmapVectorStore on disk) and the pool head is
+          reranked on host. ~5x less HBM per vector — the unbounded-N
+          graph-serving tier (reference: disk-backed searchLayer,
+          parquet/graph.go:924-1076 + vector_ops.go:321-432).
+        """
+        return self._hbm_mode
+
+    @hbm_mode.setter
+    def hbm_mode(self, mode: str) -> None:
+        if mode not in ("full", "quantized"):
+            raise ValueError(f"bad hbm_mode {mode!r}")
+        from hnsw_tpu.ops.distance import registered
+        if mode == "quantized" and registered(self.metric) is not None:
+            raise ValueError(
+                "hbm_mode='quantized' unsupported for custom metrics "
+                "(they score raw vectors)")
+        if mode != self._hbm_mode:
+            self._hbm_mode = mode
             self._dirty = True
 
     # -- invariants (graph.go:916-937) ----------------------------------------
@@ -248,7 +276,9 @@ class Graph:
                 (self.store.alive[:use] if self.store.alive is not None
                  else np.zeros((0,), bool)),
                 entry, cap_pad=cap, store_dtype=sd,
-                quantize=self._quant_traversal)
+                quantize=(self._quant_traversal
+                          or self._hbm_mode == "quantized"),
+                hbm_vectors=self._hbm_mode != "quantized")
             self._dirty = False
         return self._dev
 
@@ -278,10 +308,51 @@ class Graph:
         pool = max(ef, k)
         expand = self.cfg.search_expand
         hops = max(self.cfg.max_hops, -(-2 * pool // expand))
+        if self._hbm_mode == "quantized":
+            # traversal-ordered pool head off device; exact rerank on
+            # host against the (possibly disk-resident) store
+            R = min(max(2 * k, 32), max(pool, k))
+            _, i = search_graph(g, jnp.asarray(queries), k=R, ef=ef,
+                                metric=self.metric, max_hops=hops,
+                                expand=expand, fast_math=self.fast_math,
+                                device_rerank=False)
+            return self._host_rerank(queries[:nq], np.asarray(i[:nq]), k)
         d, i = search_graph(g, jnp.asarray(queries), k=k, ef=ef,
                             metric=self.metric, max_hops=hops,
                             expand=expand, fast_math=self.fast_math)
         return np.asarray(d[:nq]), np.asarray(i[:nq], np.int64)
+
+    def _host_rerank(self, queries: np.ndarray, cand: np.ndarray, k: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact f32 rerank of per-query candidate slots against the
+        host/disk store (one batched fetch — the GetVectorsBatch role,
+        parquet/vector_ops.go:321-432)."""
+        nq, R = cand.shape
+        safe = np.clip(cand, 0, max(self.store.capacity - 1, 0))
+        rows = self.store.get_batch(safe.reshape(-1)).reshape(nq, R, -1)
+        qf = np.asarray(queries, np.float32)
+        qv = np.einsum("qd,qrd->qr", qf, rows.astype(np.float32))
+        c_sq = self.store.sq_norms[safe]
+        if self.metric == "dot":
+            d = -qv
+        elif self.metric == "cosine":
+            q_sq = np.sum(qf * qf, axis=-1)
+            d = 1.0 - qv / np.sqrt(q_sq[:, None] * c_sq + 1e-30)
+        else:
+            q_sq = np.sum(qf * qf, axis=-1)
+            d = np.maximum(q_sq[:, None] + c_sq - 2.0 * qv, 0.0)
+            if self.metric == "l2":
+                d = np.sqrt(d)
+        d = np.where(cand >= 0, d, INF_DIST).astype(np.float32)
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        dk = np.take_along_axis(d, order, axis=1)
+        ik = np.take_along_axis(cand, order, axis=1).astype(np.int64)
+        if k > dk.shape[1]:
+            pad = k - dk.shape[1]
+            dk = np.pad(dk, ((0, 0), (0, pad)), constant_values=INF_DIST)
+            ik = np.pad(ik, ((0, 0), (0, pad)), constant_values=-1)
+        ik = np.where(dk >= INF_DIST, -1, ik)
+        return dk, ik
 
     def batch_search(self, queries, k: int, ef: Optional[int] = None
                      ) -> Tuple[List[List[Any]], np.ndarray]:

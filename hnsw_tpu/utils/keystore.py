@@ -152,3 +152,7 @@ class HostVectorStore:
 
     def get(self, slot: int) -> np.ndarray:
         return self.vectors[slot]
+
+    def get_batch(self, slots: np.ndarray) -> np.ndarray:
+        """Batched fetch (mirrors MmapVectorStore.get_batch)."""
+        return self.vectors[np.asarray(slots)]

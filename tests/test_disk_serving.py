@@ -93,3 +93,40 @@ def test_disk_graph_vectors_on_disk(tmp_path):
         wal_flush_interval_seconds=0))
     assert len(g2) == 150
     assert g2.search(v[9], 1)[0][0] == 9
+
+
+def test_hbm_quantized_mode_over_mmap_store(tmp_path):
+    # capacity serving mode: HBM holds only the int8 traversal store;
+    # raw vectors stay on disk, pool head reranked on host. Recall must
+    # track the full-HBM path; reported distances are f32-exact.
+    from hnsw_tpu.ops.distance import np_pairwise_dist
+    n, d, k = 600, 32, 10
+    v = make_vectors(n, d, seed=127)
+    q = make_vectors(40, d, seed=128)
+    g = Graph(seed=0, store=MmapVectorStore(str(tmp_path / "qv")))
+    g.batch_add(list(range(n)), v)
+    keys_full, _ = g.batch_search(q, k, ef=80)
+    g.hbm_mode = "quantized"
+    dev = g.device_graph()
+    assert dev.vectors.shape[0] == 1      # placeholder only
+    assert dev.qvec is not None
+    keys_q, dists_q = g.batch_search(q, k, ef=80)
+    _, gt = np_exact_topk(q, v, k, "cosine")
+
+    def rec(keys):
+        hits = sum(len(set(keys[i]) & set(map(int, gt[i])))
+                   for i in range(len(keys)))
+        return hits / (len(keys) * k)
+
+    assert rec(keys_q) >= rec(keys_full) - 0.02, (rec(keys_q),
+                                                  rec(keys_full))
+    for i in range(5):
+        for kk, dd in zip(keys_q[i], dists_q[i]):
+            if kk is None:
+                continue
+            true_d = np_pairwise_dist(q[i][None], v[kk][None])[0, 0]
+            assert abs(dd - true_d) < 1e-4
+    # delete works in capacity mode too
+    g.delete(keys_q[0][0])
+    keys_after, _ = g.batch_search(q[:1], k)
+    assert keys_q[0][0] not in keys_after[0]
