@@ -207,9 +207,12 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                        quant_descent: bool = False) -> None:
     """Device-resident wave insertion; syncs host arrays once at the end.
 
-    ``quant_descent`` gives the construction descent an int8 copy of the
-    store (one-time quantization — build vectors are immutable), cutting
-    the descent's gather bytes 4x. Edge SELECTION still scores raw-f32
+    ``quant_descent`` gives the construction descent the int8
+    neighbor-BLOCK layout: per wave, layer-0 blocks are rebuilt by one
+    device gather from a globally-scaled int8 copy of the store, so each
+    descent hop gathers one contiguous [M0, D] block per expanded node
+    instead of M0 scattered rows (the row-granularity bottleneck —
+    benchmarks/exp/hop_micro3.py). Edge SELECTION still scores raw-f32
     at HIGHEST precision (_diverse_select_dev / _reverse_update), so
     only the candidate pool ordering sees quantization noise.
     """
@@ -259,13 +262,15 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                                   (L_all, cap_pad, Wd)))
     levels_dev = jnp.asarray(pad_rows(host.levels[:ncap], -1, (cap_pad,)))
     alive_dev = levels_dev >= 0
-    qvec_dev = qscale_dev = None
+    qvec_dev = qscale_dev = block_scale = None
     from hnsw_tpu.ops.distance import registered
     if quant_descent and registered(metric) is None:
-        from hnsw_tpu.core.state import quantize_rows
-        qh, sh = quantize_rows(store.vectors[:ncap])
+        gs = float(np.abs(store.vectors[:ncap]).max()) / 127.0 or 1.0
+        qh = np.clip(np.rint(store.vectors[:ncap] / gs),
+                     -127, 127).astype(np.int8)
         qvec_dev = jnp.asarray(pad_rows(qh, 0, (cap_pad, store.dim)))
-        qscale_dev = jnp.asarray(pad_rows(sh, 0, (cap_pad,)))
+        qscale_dev = jnp.asarray(np.full((cap_pad,), gs, np.float32))
+        block_scale = jnp.asarray(np.float32(gs))
 
     n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
     import os as _os
@@ -289,11 +294,16 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
         wslots_pad[:W] = wslots
         wsl_dev = jnp.asarray(np.where(wslots_pad >= 0, wslots_pad, 0)
                               .astype(np.int32))
+        nbr_blocks = None
+        if qvec_dev is not None:
+            from hnsw_tpu.core.state import _gather_blocks
+            nbr_blocks = _gather_blocks(qvec_dev, nb_dev[0])
         g = DeviceGraph(vectors=vectors_dev, sq_norms=sq_dev,
                         neighbors=nb_dev, levels=levels_dev,
                         alive=alive_dev,
                         entry=jnp.asarray(np.int32(host.entry)),
-                        qvec=qvec_dev, qscale=qscale_dev)
+                        qvec=qvec_dev, qscale=qscale_dev,
+                        nbr_blocks=nbr_blocks, block_scale=block_scale)
         wq = vectors_dev[wsl_dev]
         cand_d, cand_i = construction_descent(
             g, wq, ef=max(cfg.ef_construction, n_cand), m_out=n_cand,
@@ -419,13 +429,15 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
                                   (L_all, cap_pad, Wd)))
     levels_dev = jnp.asarray(pad_rows(host.levels[:ncap], -1, (cap_pad,)))
     alive_dev = levels_dev >= 0
-    qvec_dev = qscale_dev = None
+    qvec_dev = qscale_dev = block_scale = None
     from hnsw_tpu.ops.distance import registered
     if quant_descent and registered(metric) is None:
-        from hnsw_tpu.core.state import quantize_rows
-        qh, sh = quantize_rows(store.vectors[:ncap])
+        gs = float(np.abs(store.vectors[:ncap]).max()) / 127.0 or 1.0
+        qh = np.clip(np.rint(store.vectors[:ncap] / gs),
+                     -127, 127).astype(np.int8)
         qvec_dev = jnp.asarray(pad_rows(qh, 0, (cap_pad, store.dim)))
-        qscale_dev = jnp.asarray(pad_rows(sh, 0, (cap_pad,)))
+        qscale_dev = jnp.asarray(np.full((cap_pad,), gs, np.float32))
+        block_scale = jnp.asarray(np.float32(gs))
     n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
 
     for w0 in range(0, len(alive_slots), wave):
@@ -437,11 +449,16 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
         wslots_pad[:W] = wslots
         wsl_dev = jnp.asarray(np.where(wslots_pad >= 0, wslots_pad, 0)
                               .astype(np.int32))
+        nbr_blocks = None
+        if qvec_dev is not None:
+            from hnsw_tpu.core.state import _gather_blocks
+            nbr_blocks = _gather_blocks(qvec_dev, nb_dev[0])
         g = DeviceGraph(vectors=vectors_dev, sq_norms=sq_dev,
                         neighbors=nb_dev, levels=levels_dev,
                         alive=alive_dev,
                         entry=jnp.asarray(np.int32(host.entry)),
-                        qvec=qvec_dev, qscale=qscale_dev)
+                        qvec=qvec_dev, qscale=qscale_dev,
+                        nbr_blocks=nbr_blocks, block_scale=block_scale)
         wq = vectors_dev[wsl_dev]
         cand_d, cand_i = construction_descent(
             g, wq, ef=max(cfg.ef_construction, n_cand), m_out=n_cand,

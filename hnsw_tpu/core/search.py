@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from hnsw_tpu.config import canonical_metric
 from hnsw_tpu.core.state import DeviceGraph
-from hnsw_tpu.ops.distance import INF_DIST, gathered_dist, registered
+from hnsw_tpu.ops.distance import (INF_DIST, gathered_dist, pairwise_dist,
+                                   registered)
 
 
 def _dedup_adjacent(pool_d, pool_i, expanded):
@@ -56,14 +57,17 @@ def _dedup_adjacent(pool_d, pool_i, expanded):
 def _score_hop(g: DeviceGraph, queries, q_sq, nb_safe, metric, precision):
     """Distances from each query to its gathered candidate slots.
 
-    When the graph carries an int8 traversal store (g.qvec), the hop
-    gathers 1-byte rows instead of 4-byte f32 — the hop is gather-bound,
-    so this is the VERDICT "int8 traversal + f32 rerank" lever. The
-    per-row dequant scale folds into the Gram epilogue (one [B, C]
-    multiply), never touching the [B, C, D] tensor. Custom registered
-    metrics consume raw vectors and bypass quantization.
+    Preference order (measured, benchmarks/exp/quant_hop.py): f32 row
+    gathers when real vectors are in HBM — XLA row gathers are
+    row-granularity-bound, so int8 rows are ~30% SLOWER (layout +
+    convert), not 4x faster; int8's value is HBM capacity. The int8
+    store serves scoring only in the capacity mode (g.vectors is the
+    [1, D] placeholder). The per-row dequant scale folds into the Gram
+    epilogue, never touching the [B, C, D] tensor. Custom registered
+    metrics always consume raw vectors.
     """
-    if g.qvec is not None and registered(metric) is None:
+    if (g.qvec is not None and g.vectors.shape[0] <= 1
+            and registered(metric) is None):
         cq = g.qvec[nb_safe]                         # [B, C, D] int8
         qv = jnp.einsum("bd,bcd->bc", queries.astype(jnp.bfloat16),
                         cq.astype(jnp.bfloat16),
@@ -111,6 +115,8 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
     M = g.m
     neigh = g.neighbors[layer]              # [cap, M]
     rows = jnp.arange(B)
+    use_blocks = (layer == 0 and g.nbr_blocks is not None
+                  and registered(metric) is None)
 
     # NO visited set. The pool is the dedup AND termination structure:
     #   * candidates already in the pool are masked by a broadcast
@@ -126,16 +132,29 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
     # Edges to dead nodes are prefolded to -1 at device-sync time
     # (state.from_host), so the hop gathers no tombstone mask either.
 
-    # Pool init: the start node occupies slot 0 (mirrors the reference
-    # pushing the entry into the result set first, graph.go:122).
-    # Tie every carry component to start_d's varying-axes type: under
-    # shard_map the while_loop requires carry-in and carry-out to agree
-    # on which mesh axes they vary over, and start_d (a distance between
-    # query and graph) always carries the union.
-    vary0 = (start_d * 0).astype(jnp.int32)                 # [B] zeros
-    pool_i = (jnp.full((B, P), -1, jnp.int32).at[:, 0].set(start_ids)
-              + vary0[:, None])
-    pool_d = jnp.full((B, P), INF_DIST, jnp.float32).at[:, 0].set(start_d)
+    # Pool init: the start node(s) occupy the leading slots (mirrors the
+    # reference pushing the entry into the result set first,
+    # graph.go:122). start_ids/start_d may be [B] (classic single entry)
+    # or [B, S] (seeded entry — S pre-scored candidates, e.g. from a
+    # pivot matmul). Tie every carry component to start_d's varying-axes
+    # type: under shard_map the while_loop requires carry-in and
+    # carry-out to agree on which mesh axes they vary over, and start_d
+    # (a distance between query and graph) always carries the union.
+    if start_ids.ndim == 1:
+        start_ids = start_ids[:, None]
+        start_d = start_d[:, None]
+    S = min(start_ids.shape[1], P)
+    vary0 = (start_d[:, 0] * 0).astype(jnp.int32)           # [B] zeros
+    pool_i = (jnp.full((B, P), -1, jnp.int32)
+              .at[:, :S].set(start_ids[:, :S]) + vary0[:, None])
+    pool_d = (jnp.full((B, P), INF_DIST, jnp.float32)
+              .at[:, :S].set(start_d[:, :S]))
+    if S > 1:
+        # keep the pool's sorted-ascending invariant for seeded entries
+        pool_d, pool_i = jax.lax.sort((pool_d, pool_i), dimension=1,
+                                      num_keys=1, is_stable=True)
+        pool_d, pool_i, _ = _dedup_adjacent(pool_d, pool_i,
+                                            pool_i < -1)
     expanded = pool_i < -1
     hop0 = jnp.min(vary0)
 
@@ -173,7 +192,30 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
         nb_ok = nb_ok & (~in_pool)
         nb_safe = jnp.clip(jnp.where(nb_ok, nbrs, 0), 0, cap - 1)
 
-        d = _score_hop(g, queries, q_sq, nb_safe, metric, precision)
+        if use_blocks:
+            # ONE [M, D] int8 block per expanded node instead of E*M row
+            # gathers (row-granularity-bound; see DeviceGraph.nbr_blocks)
+            blk = g.nbr_blocks[cur_safe]              # [B, E, M, D] int8
+            qv = jnp.einsum("bd,bemd->bem",
+                            queries.astype(jnp.bfloat16),
+                            blk.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            qv = qv.reshape(B, E * M) * g.block_scale
+            if metric == "dot":
+                d = -qv
+            else:
+                bsq = jnp.sum(jnp.square(blk.astype(jnp.bfloat16)),
+                              axis=-1).astype(jnp.float32)
+                vsq = bsq.reshape(B, E * M) * jnp.square(g.block_scale)
+                if metric == "cosine":
+                    d = 1.0 - qv * jax.lax.rsqrt(
+                        q_sq[:, None] * vsq + 1e-30)
+                else:
+                    d = jnp.maximum(q_sq[:, None] + vsq - 2.0 * qv, 0.0)
+                    if metric == "l2":
+                        d = jnp.sqrt(d)
+        else:
+            d = _score_hop(g, queries, q_sq, nb_safe, metric, precision)
         d = jnp.where(nb_ok, d, INF_DIST)
         new_i = jnp.where(nb_ok, nbrs, -1)
 
@@ -209,7 +251,8 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
 def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                  metric: str = "cosine", max_hops: int = 128,
                  fast_math: bool = False, expand: int = 1,
-                 ef_upper: int = 0, device_rerank: bool = True
+                 ef_upper: int = 0, device_rerank: bool = True,
+                 seed_ids: jnp.ndarray | None = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full hierarchical search for a batch of queries.
 
@@ -233,6 +276,12 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
     serving mode where g.vectors is a placeholder and the caller reranks
     on host against a disk-resident store (the role of the reference's
     disk-backed searchLayer, parquet/graph.go:924-1076).
+
+    ``seed_ids`` ([B, S] slot ids, -1 padded) REPLACES the upper-layer
+    descent: the layer-0 pool starts from these pre-selected candidates
+    (scored here). The TPU-first coarse search: one MXU matmul over a
+    pivot subset beats pointer-hopping down HNSW's upper layers, and
+    multiple entry basins help recall on hard data.
     """
     metric = canonical_metric(metric)
     precision = (jax.lax.Precision.DEFAULT if fast_math
@@ -244,21 +293,29 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
     P0 = max(ef, k)
     P_up = ef_upper if ef_upper > 0 else min(8, P0)
 
-    entry_ids = jnp.broadcast_to(g.entry, (B,)).astype(jnp.int32)
-    entry_d = _entry_dist(g, queries, q_sq, entry_ids, metric, precision)
+    if seed_ids is not None:
+        safe = jnp.clip(seed_ids, 0, g.cap - 1)
+        seed_d = _score_hop(g, queries, q_sq, safe, metric, precision)
+        seed_d = jnp.where(seed_ids >= 0, seed_d, INF_DIST)
+        entry_ids = jnp.where(seed_ids >= 0, seed_ids, -1)
+        entry_d = seed_d
+    else:
+        entry_ids = jnp.broadcast_to(g.entry, (B,)).astype(jnp.int32)
+        entry_d = _entry_dist(g, queries, q_sq, entry_ids, metric,
+                              precision)
 
-    # Upper layers: narrow beam, take the best as next layer's entry
-    # (reference search(1, efSearch) + elevator, graph.go:578-585).
-    for layer in range(L - 1, 0, -1):
-        pd, pi = beam_search_layer(g, layer, queries, q_sq, entry_ids,
-                                   entry_d, pool_size=P_up,
-                                   max_hops=max_hops,
-                                   metric=metric, precision=precision,
-                                   expand=min(expand, P_up))
-        best_i, best_d = pi[:, 0], pd[:, 0]
-        keep = best_i >= 0
-        entry_ids = jnp.where(keep, best_i, entry_ids)
-        entry_d = jnp.where(keep, best_d, entry_d)
+        # Upper layers: narrow beam, take the best as next layer's entry
+        # (reference search(1, efSearch) + elevator, graph.go:578-585).
+        for layer in range(L - 1, 0, -1):
+            pd, pi = beam_search_layer(g, layer, queries, q_sq, entry_ids,
+                                       entry_d, pool_size=P_up,
+                                       max_hops=max_hops,
+                                       metric=metric, precision=precision,
+                                       expand=min(expand, P_up))
+            best_i, best_d = pi[:, 0], pd[:, 0]
+            keep = best_i >= 0
+            entry_ids = jnp.where(keep, best_i, entry_ids)
+            entry_d = jnp.where(keep, best_d, entry_d)
 
     pd, pi = beam_search_layer(g, 0, queries, q_sq, entry_ids, entry_d,
                                pool_size=P0, max_hops=max_hops,
@@ -281,3 +338,26 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
         si = jnp.where(sd >= INF_DIST, -1, si)
         return sd[:, :k], si[:, :k]
     return pd[:, :k], pi[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("s", "metric", "fast_math"))
+def pivot_seeds(queries: jnp.ndarray, pvecs: jnp.ndarray, psq: jnp.ndarray,
+                pids: jnp.ndarray, *, s: int, metric: str = "cosine",
+                fast_math: bool = False) -> jnp.ndarray:
+    """Coarse entry selection: one MXU matmul over a pivot subset.
+
+    queries [B, D] x pvecs [P, D] -> per-query s best pivot SLOT ids
+    [B, s] (-1 = none). Feeds search_graph(seed_ids=...) — the TPU-first
+    replacement for HNSW's upper-layer descent (the upper layers exist
+    to find a good entry; a systolic-array scan of ~sqrt(N)-ish pivots
+    does that in one fused op instead of pointer hops).
+    """
+    metric = canonical_metric(metric)
+    precision = (jax.lax.Precision.DEFAULT if fast_math
+                 else jax.lax.Precision.HIGHEST)
+    d = pairwise_dist(queries.astype(jnp.float32), pvecs, v_sq=psq,
+                      metric=metric, precision=precision)     # [B, P]
+    s = min(s, d.shape[1])
+    neg, j = jax.lax.top_k(-d, s)
+    ids = pids[j]
+    return jnp.where(-neg < INF_DIST, ids, -1)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +40,15 @@ class DeviceGraph(NamedTuple):
     #: (absmax/127), folded into the Gram epilogue, not the gather.
     qvec: Optional[jnp.ndarray] = None     # [cap, D] int8
     qscale: Optional[jnp.ndarray] = None   # [cap] float32
+    #: optional contiguous neighbor-vector blocks for layer 0: hop
+    #: scoring gathers ONE [M0, D] int8 block per expanded node instead
+    #: of M0 separate vector rows. XLA gathers are row-granularity-bound
+    #: (hop_micro3: ~50 GB/s effective on 512 B rows), so 4 KB blocks
+    #: reach streaming bandwidth. Costs M0 x D bytes/node of HBM —
+    #: the classic DiskANN-style speed/space trade. block_scale is the
+    #: GLOBAL dequant factor (blocks and qvec share it in this mode).
+    nbr_blocks: Optional[jnp.ndarray] = None   # [cap, M0, D] int8
+    block_scale: Optional[jnp.ndarray] = None  # [] float32
 
     @property
     def cap(self) -> int:
@@ -87,15 +97,23 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
               cap_pad: int | None = None,
               store_dtype=np.float32,
               quantize: bool = False,
-              hbm_vectors: bool = True) -> DeviceGraph:
+              hbm_vectors: bool = True,
+              block_layout: bool = False) -> DeviceGraph:
     """Upload padded host arrays to device, bucketing capacity.
 
     ``hbm_vectors=False`` (requires quantize=True) uploads only the int8
     store + a [1, D] f32 placeholder — the capacity mode where raw
     vectors stay on disk/host and searches rerank off-device.
+
+    ``block_layout`` additionally materializes layer-0 neighbor-vector
+    blocks (int8, built by ONE device gather from the uploaded int8
+    store — never shipped over the host link) and switches the int8
+    store to a single global scale so one scalar dequantizes blocks.
     """
-    if not hbm_vectors and not quantize:
+    if not hbm_vectors and not (quantize or block_layout):
         raise ValueError("hbm_vectors=False requires quantize=True")
+    if block_layout:
+        quantize = True
     n = vectors.shape[0]
     cap = cap_pad if cap_pad is not None else bucket_pow2(n)
     L, _, m = neighbors.shape
@@ -124,8 +142,16 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
         nb = np.where((nb >= 0) & al[safe], nb, -1)
 
     qvec = qscale = None
+    gscale = None
     if quantize and vectors.size:
-        q, s = quantize_rows(vectors.astype(np.float32))
+        if block_layout:
+            # global scale: blocks and rows dequantize with one scalar
+            gscale = float(np.abs(vectors).max()) / 127.0 or 1.0
+            q = np.clip(np.rint(vectors.astype(np.float32) / gscale),
+                        -127, 127).astype(np.int8)
+            s = np.full((vectors.shape[0],), gscale, np.float32)
+        else:
+            q, s = quantize_rows(vectors.astype(np.float32))
         qvec = jnp.asarray(pad_rows(q, 0))
         qscale = jnp.asarray(pad_rows(s, 0))
 
@@ -134,13 +160,27 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
     else:
         dim = vectors.shape[1] if vectors.ndim == 2 and vectors.size else 1
         vec_dev = jnp.zeros((1, dim), jnp.float32)
+    nb_dev = jnp.asarray(pad_rows(nb, -1))
+    nbr_blocks = block_scale = None
+    if block_layout and qvec is not None and nb_dev.shape[0]:
+        nbr_blocks = _gather_blocks(qvec, nb_dev[0])
+        block_scale = jnp.asarray(np.float32(gscale))
     return DeviceGraph(
         vectors=vec_dev,
         sq_norms=jnp.asarray(pad_rows(sq_norms.astype(np.float32), 0)),
-        neighbors=jnp.asarray(pad_rows(nb, -1)),
+        neighbors=nb_dev,
         levels=jnp.asarray(pad_rows(levels.astype(np.int32), -1)),
         alive=jnp.asarray(pad_rows(al, False)),
         entry=jnp.asarray(np.int32(entry)),
         qvec=qvec,
         qscale=qscale,
+        nbr_blocks=nbr_blocks,
+        block_scale=block_scale,
     )
+
+
+@jax.jit
+def _gather_blocks(qvec: jnp.ndarray, nb0: jnp.ndarray) -> jnp.ndarray:
+    """[cap, M0, D] int8 neighbor blocks via one device gather (rows for
+    -1 edges are arbitrary — the search hop masks them by id)."""
+    return qvec[jnp.clip(nb0, 0, qvec.shape[0] - 1)]

@@ -65,22 +65,65 @@ class Graph:
         #: bf16 traversal matmuls; exact reported distances off. Flip on
         #: for serving throughput.
         self.fast_math = False
-        self._quant_traversal = False
         self._hbm_mode = "full"
+        self._entry_mode = "descent"
+        self._block_layout = False
+        self._pivot_cache = None
+        #: seeds per query when entry_mode == "pivots"
+        self.seed_width = 16
+        #: pivot-count cap (subset scanned by the entry matmul)
+        self.max_pivots = 4096
 
     @property
-    def quant_traversal(self) -> bool:
-        """Serve hops from an int8 copy of the store (4x fewer gather
-        bytes — the hop is gather-bound) with automatic f32 rerank of
-        the pool head. Costs +25% HBM for the int8 copy. No effect on
-        custom registered metrics (they consume raw vectors)."""
-        return self._quant_traversal
+    def block_layout(self) -> bool:
+        """Materialize layer-0 neighbor-vector blocks (int8) in HBM:
+        each hop gathers ONE contiguous [M0, D] block per expanded node
+        instead of M0 scattered rows — the hop's dominant term is
+        row-granularity-bound gathers (benchmarks/exp/hop_micro3.py).
+        Costs M0*D bytes/node extra HBM (DiskANN-style trade); built by
+        one device-side gather, nothing extra crosses the host link."""
+        return self._block_layout
 
-    @quant_traversal.setter
-    def quant_traversal(self, on: bool) -> None:
-        if bool(on) != self._quant_traversal:
-            self._quant_traversal = bool(on)
+    @block_layout.setter
+    def block_layout(self, on: bool) -> None:
+        from hnsw_tpu.ops.distance import registered
+        if on and registered(self.metric) is not None:
+            raise ValueError(
+                "block_layout unsupported for custom metrics")
+        if bool(on) != self._block_layout:
+            self._block_layout = bool(on)
             self._dirty = True
+
+    @property
+    def entry_mode(self) -> str:
+        """How searches enter layer 0.
+
+        "descent" — classic HNSW upper-layer elevator (default).
+        "pivots"  — one MXU matmul over a ~N/16 pivot subset picks
+          ``seed_width`` entry candidates per query, skipping the upper
+          layers entirely. TPU-first coarse search: multiple entry
+          basins (better recall on hard data) for one fused scan.
+        """
+        return self._entry_mode
+
+    @entry_mode.setter
+    def entry_mode(self, mode: str) -> None:
+        if mode not in ("descent", "pivots"):
+            raise ValueError(f"bad entry_mode {mode!r}")
+        self._entry_mode = mode
+
+    def _pivot_arrays(self):
+        if self._pivot_cache is None:
+            used = self.slots.capacity_used
+            alive = np.flatnonzero(self.store.alive[:used])
+            n_piv = int(min(self.max_pivots, max(1, len(alive) // 4)))
+            stride = max(1, len(alive) // n_piv)
+            sel = alive[::stride][:n_piv]
+            self._pivot_cache = (
+                jnp.asarray(sel.astype(np.int32)),
+                jnp.asarray(self.store.vectors[sel], dtype=jnp.float32),
+                jnp.asarray(self.store.sq_norms[sel]))
+        return self._pivot_cache
 
     @property
     def hbm_mode(self) -> str:
@@ -249,6 +292,7 @@ class Graph:
     # -- device sync --------------------------------------------------------------
     def device_graph(self) -> DeviceGraph:
         if self._dirty or self._dev is None:
+            self._pivot_cache = None
             n = self.slots.capacity_used
             cap = bucket_pow2(max(n, 1), 8)
             nb, levels, entry, top = self.host.arrays()
@@ -276,9 +320,9 @@ class Graph:
                 (self.store.alive[:use] if self.store.alive is not None
                  else np.zeros((0,), bool)),
                 entry, cap_pad=cap, store_dtype=sd,
-                quantize=(self._quant_traversal
-                          or self._hbm_mode == "quantized"),
-                hbm_vectors=self._hbm_mode != "quantized")
+                quantize=self._hbm_mode == "quantized",
+                hbm_vectors=self._hbm_mode != "quantized",
+                block_layout=self._block_layout)
             self._dirty = False
         return self._dev
 
@@ -308,6 +352,14 @@ class Graph:
         pool = max(ef, k)
         expand = self.cfg.search_expand
         hops = max(self.cfg.max_hops, -(-2 * pool // expand))
+        seed_ids = None
+        if self._entry_mode == "pivots":
+            from hnsw_tpu.core.search import pivot_seeds
+            pids, pvecs, psq = self._pivot_arrays()
+            seed_ids = pivot_seeds(jnp.asarray(queries), pvecs, psq, pids,
+                                   s=min(self.seed_width, pool),
+                                   metric=self.metric,
+                                   fast_math=self.fast_math)
         if self._hbm_mode == "quantized":
             # traversal-ordered pool head off device; exact rerank on
             # host against the (possibly disk-resident) store
@@ -315,11 +367,12 @@ class Graph:
             _, i = search_graph(g, jnp.asarray(queries), k=R, ef=ef,
                                 metric=self.metric, max_hops=hops,
                                 expand=expand, fast_math=self.fast_math,
-                                device_rerank=False)
+                                device_rerank=False, seed_ids=seed_ids)
             return self._host_rerank(queries[:nq], np.asarray(i[:nq]), k)
         d, i = search_graph(g, jnp.asarray(queries), k=k, ef=ef,
                             metric=self.metric, max_hops=hops,
-                            expand=expand, fast_math=self.fast_math)
+                            expand=expand, fast_math=self.fast_math,
+                            seed_ids=seed_ids)
         return np.asarray(d[:nq]), np.asarray(i[:nq], np.int64)
 
     def _host_rerank(self, queries: np.ndarray, cand: np.ndarray, k: int

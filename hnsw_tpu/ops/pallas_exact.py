@@ -72,12 +72,15 @@ def _extract_k_packed(pk: jnp.ndarray, k: int) -> jnp.ndarray:
     """
     tq = pk.shape[0]
     out0 = jnp.full((tq, k), _INT32_MAX, jnp.int32)
+    # one-hot column writes: Mosaic lowers neither dynamic_update_slice
+    # nor gathers inside kernels; a [tq, k] select per pass is free
+    ocol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
 
     def body(i, st):
         cur, out = st
         m = jnp.min(cur, axis=1)
         cur = jnp.where(cur == m[:, None], _INT32_MAX, cur)
-        out = jax.lax.dynamic_update_slice(out, m[:, None], (0, i))
+        out = jnp.where(ocol == i, m[:, None], out)
         return cur, out
 
     _, out = jax.lax.fori_loop(0, k, body, (pk, out0))
@@ -131,6 +134,7 @@ def _make_kernel(metric: str, k_sel: int, tc: int, fast_math: bool):
         ids = jnp.concatenate([outi_ref[:], tile_ids], axis=1)
         outk0 = jnp.full((tq, k_sel), _INT32_MAX, jnp.int32)
         outi0 = jnp.full((tq, k_sel), -1, jnp.int32)
+        ocol = jax.lax.broadcasted_iota(jnp.int32, (tq, k_sel), 1)
 
         def mbody(i, st):
             cur, ok, oi = st
@@ -138,8 +142,8 @@ def _make_kernel(metric: str, k_sel: int, tc: int, fast_math: bool):
             sel = cur == m[:, None]
             idv = jnp.max(jnp.where(sel, ids, -1), axis=1)
             cur = jnp.where(sel, _INT32_MAX, cur)
-            ok = jax.lax.dynamic_update_slice(ok, m[:, None], (0, i))
-            oi = jax.lax.dynamic_update_slice(oi, idv[:, None], (0, i))
+            ok = jnp.where(ocol == i, m[:, None], ok)
+            oi = jnp.where(ocol == i, idv[:, None], oi)
             return cur, ok, oi
 
         _, outk, outi = jax.lax.fori_loop(0, k_sel, mbody,

@@ -211,32 +211,61 @@ def test_fast_math_reports_f32_exact_distances():
             assert abs(dd - true_d) < 1e-4, (kk, dd, true_d)
 
 
-@pytest.mark.parametrize("metric", ["cosine", "l2"])
-def test_quant_traversal_recall_and_f32_distances(metric):
-    # int8 traversal store: hops gather 1-byte rows; the pool head is
-    # reranked in f32, so recall stays near the f32 path and reported
-    # distances are exact.
+def test_pivot_entry_mode_recall():
+    # entry_mode="pivots": one matmul over a pivot subset replaces the
+    # upper-layer descent; recall must track (or beat — multiple entry
+    # basins) the classic descent.
+    n, d, k = 800, 32, 10
+    v = make_vectors(n, d, seed=21)
+    q = make_vectors(50, d, seed=22)
+    g = Graph(metric="cosine", seed=0)
+    g.batch_add(list(range(n)), v)
+    keys_desc, _ = g.batch_search(q, k, ef=80)
+    g.entry_mode = "pivots"
+    keys_piv, dists_piv = g.batch_search(q, k, ef=80)
+    _, gt = np_exact_topk(q, v, k, "cosine")
+    r_desc = recall_at_k(keys_desc, gt, k)
+    r_piv = recall_at_k(keys_piv, gt, k)
+    assert r_piv >= r_desc - 0.02, (r_piv, r_desc)
+    # self-search still exact
+    assert g.search(v[11], 1)[0][0] == 11
+    # mutation invalidates the pivot cache
+    g.delete(3)
+    keys2, _ = g.batch_search(q[:2], k)
+    assert 3 not in keys2[0] and 3 not in keys2[1]
+
+
+def test_block_layout_recall_and_exact_distances():
+    # layer-0 neighbor-vector blocks: one contiguous int8 block gather
+    # per expanded node. Results stay near the f32 path (f32 rerank of
+    # the pool head) and reported distances are exact.
     from hnsw_tpu.ops.distance import np_pairwise_dist
-    n, d, k = 600, 32, 10
-    v = make_vectors(n, d, seed=11)
-    q = make_vectors(50, d, seed=12)
-    g = Graph(metric=metric, ef_search=40, seed=0)
+    n, d, k = 800, 32, 10
+    v = make_vectors(n, d, seed=31)
+    q = make_vectors(50, d, seed=32)
+    g = Graph(metric="cosine", seed=0)
     g.batch_add(list(range(n)), v)
     keys_f32, _ = g.batch_search(q, k, ef=80)
-    g.quant_traversal = True
-    assert g.device_graph().qvec is not None
-    keys_q, dists_q = g.batch_search(q, k, ef=80)
-    _, gt = np_exact_topk(q, v, k, metric)
+    g.block_layout = True
+    dev = g.device_graph()
+    assert dev.nbr_blocks is not None
+    assert dev.nbr_blocks.shape[1] == dev.m
+    keys_b, dists_b = g.batch_search(q, k, ef=80)
+    _, gt = np_exact_topk(q, v, k, "cosine")
     r_f32 = recall_at_k(keys_f32, gt, k)
-    r_q = recall_at_k(keys_q, gt, k)
-    assert r_q >= r_f32 - 0.02, (r_q, r_f32)
-    # reported distances are reranked f32-exact
+    r_b = recall_at_k(keys_b, gt, k)
+    assert r_b >= r_f32 - 0.02, (r_b, r_f32)
     for i in range(5):
-        for kk, dd in zip(keys_q[i], dists_q[i]):
+        for kk, dd in zip(keys_b[i], dists_b[i]):
             if kk is None:
                 continue
-            true_d = np_pairwise_dist(q[i][None], v[kk][None], metric)[0, 0]
-            assert abs(dd - true_d) < 1e-4, (kk, dd, true_d)
-    # toggling back serves the unquantized path again
-    g.quant_traversal = False
-    assert g.device_graph().qvec is None
+            true_d = np_pairwise_dist(q[i][None], v[kk][None])[0, 0]
+            assert abs(dd - true_d) < 1e-4
+    # composes with pivot entry
+    g.entry_mode = "pivots"
+    keys_bp, _ = g.batch_search(q, k, ef=80)
+    assert recall_at_k(keys_bp, gt, k) >= r_f32 - 0.02
+    # mutation rebuilds blocks
+    g.delete(keys_b[0][0])
+    keys2, _ = g.batch_search(q[:1], k)
+    assert keys_b[0][0] not in keys2[0]
