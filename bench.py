@@ -80,19 +80,19 @@ def main():
           f"recall@10={exact_recall:.4f}", file=sys.stderr)
 
     # ---- pure HNSW graph tier --------------------------------------------
-    from hnsw_tpu.core.search import search_graph
-    q1k = queries[:1024]
+    # serving config: neighbor-block layout + pivot-seeded entry
+    # (benchmarks/exp/block_hop.py ablation), bf16 traversal, f32 rerank
+    g.block_layout = True
+    g.entry_mode = "pivots"
+    q1k = np.asarray(queries[:1024])
     hnsw_points = []
-    for ef, E, H in ((192, 1, 320), (320, 2, 256), (384, 4, 160)):
+    for ef in (192, 256, 384):
         def serve_hnsw():
-            dd, ii = search_graph(dev, q1k, k=k, ef=ef, metric="cosine",
-                                  max_hops=H, fast_math=True, expand=E)
-            ii.block_until_ready()
-            return ii
+            keys, _ = g.batch_search(q1k, k, ef=ef)
+            return keys
 
-        dt, ii = _bench(serve_hnsw, reps=3)
-        ii = np.asarray(ii)
-        hits = sum(len(set(map(int, ii[q])) & set(map(int, gt[q])))
+        dt, keys = _bench(serve_hnsw, reps=3)
+        hits = sum(len(set(keys[q]) & set(map(int, gt[q])))
                    for q in range(1024))
         rec = hits / (1024 * k)
         hnsw_points.append((ef, 1024 / dt, rec))

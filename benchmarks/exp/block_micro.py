@@ -31,38 +31,42 @@ def main():
             rng.integers(0, cap, (B, E * M)).astype(np.int32))
         ids_blk = jnp.asarray(rng.integers(0, cap, (B, E)).astype(np.int32))
 
+        # tables passed as ARGUMENTS: closed-over device arrays get
+        # embedded in the remote-compile payload (HTTP 413 at 537 MB)
         @jax.jit
-        def row_f32(ids):
-            cv = vec_f32[ids]                        # [B, E*M, D]
-            return jnp.einsum("bd,bcd->bc", q, cv,
+        def row_f32(tbl, qq, ids):
+            cv = tbl[ids]                            # [B, E*M, D]
+            return jnp.einsum("bd,bcd->bc", qq, cv,
                               precision=jax.lax.Precision.DEFAULT)
 
         @jax.jit
-        def row_i8(ids):
-            cv = vec_i8[ids]
-            return jnp.einsum("bd,bcd->bc", q.astype(jnp.bfloat16),
+        def row_i8(tbl, qq, ids):
+            cv = tbl[ids]
+            return jnp.einsum("bd,bcd->bc", qq.astype(jnp.bfloat16),
                               cv.astype(jnp.bfloat16),
                               preferred_element_type=jnp.float32)
 
         @jax.jit
-        def block_i8(ids):
-            blk = blk_i8[ids]                        # [B, E, M, D]
-            qv = jnp.einsum("bd,bemd->bem", q.astype(jnp.bfloat16),
+        def block_i8(tbl, qq, ids):
+            blk = tbl[ids]                           # [B, E, M, D]
+            qv = jnp.einsum("bd,bemd->bem", qq.astype(jnp.bfloat16),
                             blk.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
-            return qv.reshape(B, E * M)
+            return qv.reshape(qq.shape[0], -1)
 
         @jax.jit
-        def block_f32(ids):
-            blk = blk_f32[ids]
-            qv = jnp.einsum("bd,bemd->bem", q, blk,
+        def block_f32(tbl, qq, ids):
+            blk = tbl[ids]
+            qv = jnp.einsum("bd,bemd->bem", qq, blk,
                             precision=jax.lax.Precision.DEFAULT)
-            return qv.reshape(B, E * M)
+            return qv.reshape(qq.shape[0], -1)
 
-        for tag, fn, ids in (("row f32", row_f32, ids_rows),
-                             ("row int8", row_i8, ids_rows),
-                             ("block int8", block_i8, ids_blk),
-                             ("block f32", block_f32, ids_blk)):
+        for tag, f, tbl, ids in (("row f32", row_f32, vec_f32, ids_rows),
+                                 ("row int8", row_i8, vec_i8, ids_rows),
+                                 ("block int8", block_i8, blk_i8, ids_blk),
+                                 ("block f32", block_f32, blk_f32,
+                                  ids_blk)):
+            fn = lambda i: f(tbl, q, i)
             out = fn(ids)
             jax.block_until_ready(out)
             t0 = time.perf_counter()

@@ -97,6 +97,22 @@ def main():
               "recall@10": round(recall_of(ids, gt, k), 4),
               "platform": platform})
 
+    # serving config: neighbor-block layout + pivot-seeded entry
+    g.block_layout = True
+    g.entry_mode = "pivots"
+    for ef in (192, 256, 384):
+        g.batch_search(queries, k, ef=ef)  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(3):
+            d_out, i_out = g.batch_search_slots(queries, k, ef=ef)
+        dt = (time.perf_counter() - t0) / 3
+        emit({"config": "cosine_10kx128", "strategy": "hnsw_block_piv",
+              "ef": ef, "qps": round(n_q / dt, 0),
+              "recall@10": round(recall_of(i_out, gt, k), 4),
+              "platform": platform})
+    g.block_layout = False
+    g.entry_mode = "descent"
+
     sq = dev.sq_norms
     f = lambda: exact_topk(qd, dev.vectors, sq, dev.alive, k=k,
                            metric="cosine")

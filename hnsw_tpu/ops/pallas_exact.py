@@ -160,7 +160,7 @@ def _make_kernel(metric: str, k_sel: int, tc: int, fast_math: bool):
 def pallas_exact_screen(queries: jnp.ndarray, vectors: jnp.ndarray,
                         v_sq: jnp.ndarray, valid: jnp.ndarray, *,
                         k_sel: int, metric: str = "cosine", tq: int = 256,
-                        tc: int = 2048, interpret: bool = False,
+                        tc: int = 1024, interpret: bool = False,
                         fast_math: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused screening pass: (packed keys [Q, k_sel], ids [Q, k_sel]).
@@ -222,7 +222,9 @@ def exact_topk_fused(queries, vectors, v_sq, valid, *, k: int,
     N = vectors.shape[0]
     k_sel = min(min(k + 8, 128), N)
     tq = 256 if Q >= 256 else max(8, Q)
-    tc = 2048 if N >= 2048 else max(128, int(2 ** np.ceil(np.log2(N))))
+    # tc=1024: [TQ, TC] kernel buffers must fit the ~16 MB VMEM scoped
+    # stack (tc=2048 measured 18-20 MB and failed to compile at 1M)
+    tc = 1024 if N >= 1024 else max(128, int(2 ** np.ceil(np.log2(N))))
     qp = (-Q) % tq
     np_ = (-N) % tc
     if qp:
