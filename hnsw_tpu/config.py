@@ -192,6 +192,10 @@ class StoreConfig:
     #: in RAM — the reference parquet VectorStore's capability for
     #: N >> RAM (parquet/vector_ops.go:18-63).
     vectors_on_disk: bool = False
+    #: serve graph hops from an int8-only HBM store and rerank the pool
+    #: head against the disk store on host (Graph.hbm_mode="quantized")
+    #: — ~5x more vectors per chip; pairs with vectors_on_disk.
+    hbm_quantized: bool = False
     format: str = "parquet"  # "parquet" | "arrow" | "npz"
 
     def validate(self) -> None:

@@ -48,6 +48,15 @@ class HybridIndex:
         self.graph = Graph(m=self.cfg.m, ml=self.cfg.ml,
                            ef_search=self.cfg.ef_search,
                            metric=self.cfg.metric, seed=self.cfg.seed)
+        from hnsw_tpu.ops.distance import registered
+        if registered(self.cfg.metric) is None:
+            # serving config (benchmarks/exp/block_hop.py): bf16
+            # traversal + f32 rerank, contiguous neighbor blocks,
+            # pivot-seeded entry — ~2x graph-tier qps at equal recall.
+            # Custom metrics keep the plain f32 path.
+            self.graph.fast_math = True
+            self.graph.block_layout = True
+            self.graph.entry_mode = "pivots"
         self.lsh = LSHIndex(metric=self.cfg.metric,
                             num_tables=self.cfg.num_hash_tables,
                             num_bits=self.cfg.num_hash_bits,

@@ -66,25 +66,17 @@ def _extract_k_packed(pk: jnp.ndarray, k: int) -> jnp.ndarray:
     pk: [TQ, W] int32. Returns [TQ, k] int32, ascending. Equal keys are
     masked together (duplicate ids collapse — harmless: duplicates only
     arise from the merge accumulator re-seeing its own entries).
-    fori_loop, not an unrolled Python loop: unrolling keeps k live
-    [TQ, W] buffers on the VMEM stack (measured 20 MB > the 16 MB
-    scoped limit at TQ=256, W=2048, k=18).
+    UNROLLED python loop: a fori_loop carrying the [TQ, W] working set
+    measured 10x slower (Mosaic spills large loop carries); unrolled
+    passes fit the 16 MB VMEM scoped stack at tc<=1024.
     """
-    tq = pk.shape[0]
-    out0 = jnp.full((tq, k), _INT32_MAX, jnp.int32)
-    # one-hot column writes: Mosaic lowers neither dynamic_update_slice
-    # nor gathers inside kernels; a [tq, k] select per pass is free
-    ocol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
-
-    def body(i, st):
-        cur, out = st
+    out = []
+    cur = pk
+    for _ in range(k):
         m = jnp.min(cur, axis=1)
         cur = jnp.where(cur == m[:, None], _INT32_MAX, cur)
-        out = jnp.where(ocol == i, m[:, None], out)
-        return cur, out
-
-    _, out = jax.lax.fori_loop(0, k, body, (pk, out0))
-    return out
+        out.append(m)
+    return jnp.stack(out, axis=1)
 
 
 def _make_kernel(metric: str, k_sel: int, tc: int, fast_math: bool):
@@ -132,24 +124,17 @@ def _make_kernel(metric: str, k_sel: int, tc: int, fast_math: bool):
         # ids recovered by masked max (keys are globally comparable)
         keys = jnp.concatenate([outk_ref[:], tile_keys], axis=1)
         ids = jnp.concatenate([outi_ref[:], tile_ids], axis=1)
-        outk0 = jnp.full((tq, k_sel), _INT32_MAX, jnp.int32)
-        outi0 = jnp.full((tq, k_sel), -1, jnp.int32)
-        ocol = jax.lax.broadcasted_iota(jnp.int32, (tq, k_sel), 1)
-
-        def mbody(i, st):
-            cur, ok, oi = st
+        out_k = []
+        out_i = []
+        cur = keys
+        for _ in range(k_sel):
             m = jnp.min(cur, axis=1)
             sel = cur == m[:, None]
-            idv = jnp.max(jnp.where(sel, ids, -1), axis=1)
+            out_k.append(m)
+            out_i.append(jnp.max(jnp.where(sel, ids, -1), axis=1))
             cur = jnp.where(sel, _INT32_MAX, cur)
-            ok = jnp.where(ocol == i, m[:, None], ok)
-            oi = jnp.where(ocol == i, idv[:, None], oi)
-            return cur, ok, oi
-
-        _, outk, outi = jax.lax.fori_loop(0, k_sel, mbody,
-                                          (keys, outk0, outi0))
-        outk_ref[:] = outk
-        outi_ref[:] = outi
+        outk_ref[:] = jnp.stack(out_k, axis=1)
+        outi_ref[:] = jnp.stack(out_i, axis=1)
 
     return kernel
 
