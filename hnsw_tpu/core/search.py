@@ -28,11 +28,17 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hnsw_tpu.config import canonical_metric
 from hnsw_tpu.core.state import DeviceGraph
 from hnsw_tpu.ops.distance import (INF_DIST, gathered_dist, pairwise_dist,
                                    registered)
+
+
+#: bit 30 of the merge-sort id operand carries the "expanded" flag
+#: (slot ids are dense int32 << 2^30; -1 sentinels stay negative).
+_EXP_BIT = np.int32(1 << 30)
 
 
 def _dedup_adjacent(pool_d, pool_i, expanded):
@@ -221,13 +227,17 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
 
         # Fused merge: ONE stable multi-operand sort replaces
         # top_k + two take_along_axis gathers (measured ~4 ms/hop).
+        # The expanded flag rides in bit 30 of the id operand (ids are
+        # dense slots << 2^30), so the sort moves 2 operands, not 3.
         md = jnp.concatenate([pool_d, d], axis=1)           # [B, P+E*M]
-        mi = jnp.concatenate([pool_i, new_i], axis=1)
-        me = jnp.concatenate([expanded, jnp.zeros((B, E * M), bool)],
-                             axis=1)
-        sd, si, se = jax.lax.sort((md, mi, me), dimension=1, num_keys=1,
-                                  is_stable=True)
-        pool_d, pool_i, expanded = sd[:, :P], si[:, :P], se[:, :P]
+        ei = jnp.where(expanded & (pool_i >= 0), pool_i | _EXP_BIT,
+                       pool_i)
+        mi = jnp.concatenate([ei, new_i], axis=1)
+        sd, si = jax.lax.sort((md, mi), dimension=1, num_keys=1,
+                              is_stable=True)
+        pool_d, packed = sd[:, :P], si[:, :P]
+        expanded = packed >= _EXP_BIT
+        pool_i = jnp.where(packed >= 0, packed & (_EXP_BIT - 1), packed)
         pool_d, pool_i, expanded = _dedup_adjacent(pool_d, pool_i,
                                                    expanded)
         j, take = select(pool_d, pool_i, expanded)
