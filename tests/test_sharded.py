@@ -177,3 +177,46 @@ def test_multihost_replicas_survive_slice_loss():
     slices[dead].batch_delete(slices[dead].keys())
     keys, _ = mh.batch_search(v[:32], 1)
     assert [r[0] for r in keys] == list(range(32))
+
+
+def test_multihost_over_tcp_sockets():
+    """Cross-process transport: slices behind real TCP servers
+    (parallel/rpc.SliceServer + SocketTransport) — the concrete form of
+    the reference's gRPC-transport sketch. No pickle on the wire."""
+    import numpy as np
+    from hnsw_tpu.index.exact import ExactIndex
+    from hnsw_tpu.ops.topk import np_exact_topk
+    from hnsw_tpu.parallel.multihost import MultiHostIndex
+    from hnsw_tpu.parallel.rpc import SliceServer, SocketTransport
+    from tests.conftest import make_vectors
+
+    n, d, k = 400, 16, 5
+    v = make_vectors(n, d, seed=132)
+    q = make_vectors(10, d, seed=133)
+    servers = [SliceServer(ExactIndex(metric="cosine"))
+               for _ in range(3)]
+    addrs = [s.start() for s in servers]
+    tr = SocketTransport(addrs)
+    try:
+        mh = MultiHostIndex(tr, replicas=2)
+        # tuple + int keys round-trip the wire codec
+        keys_in = [("doc", i) if i % 2 else i for i in range(n)]
+        mh.batch_add(keys_in, v)
+        st = mh.stats()
+        assert all(c > 0 for c in st["per_slice"])
+        keys, dists = mh.batch_search(q, k)
+        gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
+        for i in range(len(q)):
+            assert keys[i] == [keys_in[int(x)] for x in gt_i[i]]
+            np.testing.assert_allclose(dists[i], gt_d[i], atol=1e-5)
+        assert mh.delete(keys_in[7])
+        assert mh.search(v[7], 1)[0][0] != keys_in[7]
+        # disallowed method is refused, connection keeps serving
+        import pytest
+        with pytest.raises(RuntimeError, match="not allowed"):
+            tr.call(0, "device_graph")
+        assert tr.call(0, "__len__") > 0
+    finally:
+        tr.close()
+        for s in servers:
+            s.shutdown()
