@@ -1,8 +1,9 @@
 """Large-scale device build + quality curve (VERDICT item 5).
 
-Usage: scale_build.py [N] [wave]
-Builds N x 128 random f32 on-device, then measures exact qps, graph
-recall/qps at an ef ladder, and IVF (clustered comparison separate).
+Usage: scale_build.py [N] [wave] [random|clustered] [quant|noquant] [all|graph|ivf]
+Builds N x 128 f32 on-device, then measures exact qps, graph
+recall/qps at an ef ladder, and IVF.  `ivf` skips the graph build
+(ground truth comes from a raw exact scan).
 Appends JSON rows to benchmarks/results_tpu_r2.jsonl.
 """
 import json
@@ -27,7 +28,11 @@ def main():
     wave = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     kind = sys.argv[3] if len(sys.argv) > 3 else "random"
     quant = len(sys.argv) > 4 and sys.argv[4] == "quant"
+    what = sys.argv[5] if len(sys.argv) > 5 else "all"
     d, k = 128, 10
+    if os.environ.get("HNSW_TPU_FORCE_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from hnsw_tpu.utils.warmup import warmup_transfers
     warmup_transfers()
     import jax
@@ -42,21 +47,11 @@ def main():
         data, _ = synthetic_standin(n, d, 1, seed=0, kind="clustered")
     else:
         data = rng.standard_normal((n, d)).astype(np.float32)
-    g = Graph(m=16, ef_search=20, metric="cosine", seed=0)
-    t0 = time.perf_counter()
-    g.build(list(range(n)), data, wave=wave, method="device",
-            quant_descent=quant)
-    build_s = time.perf_counter() - t0
-    emit({"op": "device_build", "n": n, "wave": wave, "kind": kind,
-          "quant_descent": quant, "seconds": round(build_s, 1)})
-
-    dev = g.device_graph()
     B = 1024
     q = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
 
-    def gt_and_exact():
-        f = lambda: exact_topk(q, dev.vectors, dev.sq_norms, dev.alive,
-                               k=k, metric="cosine")
+    def bench_exact(vecs, sq, alive):
+        f = lambda: exact_topk(q, vecs, sq, alive, k=k, metric="cosine")
         dd, ii = f()
         jax.block_until_ready(ii)
         t0 = time.perf_counter()
@@ -65,26 +60,43 @@ def main():
         jax.block_until_ready(ii)
         return np.asarray(ii), 3 * B / (time.perf_counter() - t0)
 
-    gt, exact_qps = gt_and_exact()
+    if what in ("all", "graph"):
+        g = Graph(m=16, ef_search=20, metric="cosine", seed=0)
+        t0 = time.perf_counter()
+        g.build(list(range(n)), data, wave=wave, method="device",
+                quant_descent=quant)
+        build_s = time.perf_counter() - t0
+        emit({"op": "device_build", "n": n, "wave": wave, "kind": kind,
+              "quant_descent": quant, "seconds": round(build_s, 1)})
+        dev = g.device_graph()
+        gt, exact_qps = bench_exact(dev.vectors, dev.sq_norms, dev.alive)
+    else:
+        vd = jnp.asarray(data)
+        sq = jnp.sum(vd * vd, axis=1)
+        gt, exact_qps = bench_exact(vd, sq, jnp.ones((n,), bool))
+        del vd, sq
     emit({"op": "exact", "n": n, "kind": kind, "qps": round(exact_qps),
           "recall": 1.0})
 
-    for ef, E in ((96, 2), (192, 2), (384, 2), (768, 4), (1536, 8)):
-        H = max(128, 2 * ef // E)
-        f = lambda: search_graph(dev, q, k=k, ef=ef, metric="cosine",
-                                 max_hops=H, fast_math=True, expand=E)
-        dd, ii = f()
-        jax.block_until_ready(ii)
-        t0 = time.perf_counter()
-        for _ in range(3):
+    if what in ("all", "graph"):
+        for ef, E in ((96, 2), (192, 2), (384, 2), (768, 4), (1536, 8)):
+            H = max(128, 2 * ef // E)
+            f = lambda: search_graph(dev, q, k=k, ef=ef, metric="cosine",
+                                     max_hops=H, fast_math=True, expand=E)
             dd, ii = f()
-        jax.block_until_ready(ii)
-        dt = (time.perf_counter() - t0) / 3
-        ii = np.asarray(ii)
-        hits = sum(len(set(map(int, ii[r])) & set(map(int, gt[r])))
-                   for r in range(B))
-        emit({"op": "hnsw", "n": n, "kind": kind, "ef": ef, "expand": E,
-              "qps": round(B / dt), "recall": round(hits / (B * k), 4)})
+            jax.block_until_ready(ii)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                dd, ii = f()
+            jax.block_until_ready(ii)
+            dt = (time.perf_counter() - t0) / 3
+            ii = np.asarray(ii)
+            hits = sum(len(set(map(int, ii[r])) & set(map(int, gt[r])))
+                       for r in range(B))
+            emit({"op": "hnsw", "n": n, "kind": kind, "ef": ef, "expand": E,
+                  "qps": round(B / dt), "recall": round(hits / (B * k), 4)})
+    if what == "graph":
+        return
 
     # IVF tier (the large-N strategy; shines on clustered data)
     from hnsw_tpu.index.ivf import IVFIndex

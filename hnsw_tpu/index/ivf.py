@@ -55,6 +55,67 @@ def _merge_probed(dk, ck, block_slot, pp, rr, valid, *, k: int):
     return dd, jnp.where(dd < INF_DIST / 2, ss, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _assign_parts(vectors, cents, metric: str):
+    """Nearest-centroid assignment, chunked on device ([N] int32 D2H).
+
+    Chunking keeps the [ch, P] distance block small; bf16 (DEFAULT)
+    matmul precision is fine for partition routing.
+    """
+    n, d = vectors.shape
+    ch = min(65536, n)
+    vc = vectors.reshape(n // ch, ch, d)
+
+    def one(chunk):
+        dist = pairwise_dist(chunk, cents, metric=metric,
+                             precision=jax.lax.Precision.DEFAULT)
+        return jnp.argmin(dist, axis=1).astype(jnp.int32)
+
+    return jax.lax.map(one, vc).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _kmeans_step(vectors, valid, cents, metric: str):
+    """One Lloyd's iteration, fully device-resident.
+
+    vectors [N, D] (N pow2-bucketed, zero-padded), valid [N] bool,
+    cents [P, D].  Assignment + one-hot segment sums are chunked MXU
+    matmuls; only the updated [P, D] table leaves the step.
+    """
+    n, d = vectors.shape
+    p = cents.shape[0]
+    ch = min(65536, n)
+    vc = vectors.reshape(n // ch, ch, d)
+    mc = valid.reshape(n // ch, ch)
+
+    def one(args):
+        chunk, m = args
+        dist = pairwise_dist(chunk, cents, metric=metric,
+                             precision=jax.lax.Precision.DEFAULT)
+        a = jnp.argmin(dist, axis=1)
+        oh = jax.nn.one_hot(a, p, dtype=jnp.float32) * m[:, None]
+        s = jnp.einsum("cp,cd->pd", oh, chunk,
+                       preferred_element_type=jnp.float32)
+        return s, jnp.sum(oh, axis=0)
+
+    ss, cc = jax.lax.map(one, (vc, mc))
+    sums, counts = ss.sum(0), cc.sum(0)
+    new = sums / jnp.maximum(counts, 1.0)[:, None]
+    return jnp.where((counts > 0)[:, None], new, cents)
+
+
+def _device_assign(vectors: np.ndarray, cents, metric: str) -> np.ndarray:
+    """Host wrapper: pow2-bucket N (bounded recompiles), assign on device."""
+    n = vectors.shape[0]
+    nb = bucket_pow2(max(n, 1), 1024)
+    vp = np.zeros((nb, vectors.shape[1]), np.float32)
+    vp[:n] = vectors
+    a = np.asarray(_assign_parts(jnp.asarray(vp),
+                                 jnp.asarray(cents, dtype=jnp.float32),
+                                 metric))
+    return a[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "k"))
 def _scan_blocks(queries, q_rows, blocks, block_sq, block_valid,
                  metric: str, k: int):
@@ -116,7 +177,13 @@ class IVFIndex:
 
     # -- training -------------------------------------------------------------
     def _train(self, vectors: np.ndarray) -> np.ndarray:
-        """Device k-means (Lloyd's): chunked assign matmuls + counts."""
+        """Device k-means (Lloyd's): everything stays on device.
+
+        Only the final [P, D] centroid table crosses the link.  (The r1
+        version shipped an [N, P] distance matrix to host EVERY
+        iteration and scatter-added on host — ~1 GB/iter through the
+        relay at 1M, minutes per iteration.)
+        """
         rng = np.random.default_rng(self.seed)
         n = vectors.shape[0]
         init = rng.choice(n, size=min(self.P, n), replace=False)
@@ -125,18 +192,17 @@ class IVFIndex:
             extra = rng.standard_normal(
                 (self.P - len(cents), vectors.shape[1])).astype(np.float32)
             cents = np.concatenate([cents, extra])
-        v_dev = jnp.asarray(vectors)
+        nb = bucket_pow2(max(n, 1), 1024)
+        vp = np.zeros((nb, vectors.shape[1]), np.float32)
+        vp[:n] = vectors
+        valid = np.zeros(nb, bool)
+        valid[:n] = True
+        v_dev = jnp.asarray(vp)
+        m_dev = jnp.asarray(valid)
+        c_dev = jnp.asarray(cents.astype(np.float32))
         for _ in range(self.kmeans_iters):
-            d = np.asarray(pairwise_dist(v_dev, jnp.asarray(cents),
-                                         metric=self.metric))
-            assign = d.argmin(axis=1)
-            sums = np.zeros((self.P, vectors.shape[1]), np.float64)
-            np.add.at(sums, assign, vectors)
-            counts = np.bincount(assign, minlength=self.P)
-            nonzero = counts > 0
-            cents[nonzero] = (sums[nonzero] /
-                              counts[nonzero, None]).astype(np.float32)
-        return cents
+            c_dev = _kmeans_step(v_dev, m_dev, c_dev, self.metric)
+        return np.asarray(jax.block_until_ready(c_dev))
 
     # -- mutation ----------------------------------------------------------------
     def build(self, keys: Sequence[Hashable], vectors) -> None:
@@ -144,10 +210,7 @@ class IVFIndex:
         if len(set(keys)) != len(keys):
             raise ValueError("duplicate keys in build batch")
         self.centroids = self._train(vectors)
-        d = np.asarray(pairwise_dist(jnp.asarray(vectors),
-                                     jnp.asarray(self.centroids),
-                                     metric=self.metric))
-        assign = d.argmin(axis=1)
+        assign = _device_assign(vectors, self.centroids, self.metric)
         self._commit(keys, vectors, assign)
 
     def add(self, key: Hashable, vector) -> None:
@@ -158,10 +221,7 @@ class IVFIndex:
         if self.centroids is None:
             self.build(keys, vectors)
             return
-        d = np.asarray(pairwise_dist(jnp.asarray(vectors),
-                                     jnp.asarray(self.centroids),
-                                     metric=self.metric))
-        assign = d.argmin(axis=1)
+        assign = _device_assign(vectors, self.centroids, self.metric)
         self._commit(keys, vectors, assign)
 
     def _commit(self, keys, vectors, assign) -> None:
