@@ -60,6 +60,50 @@ def _dedup_adjacent(pool_d, pool_i, expanded):
             expanded | dup)
 
 
+def _bitonic_merge(pool_d, pool_i, cand_d, cand_i, P: int):
+    """Merge a sorted pool with a narrow candidate block — O(W log C +
+    W log W) compare-exchanges instead of lax.sort's full O(W log^2 W)
+    network over the concatenation.
+
+    pool_d/pool_i [B, P] sorted ascending; cand_d/cand_i [B, C]
+    unsorted. Ids are moved opaquely (flag bits survive). Returns the
+    best P entries sorted ascending. Exactness: sorting the candidates
+    ascending, reversing them, and appending to the ascending pool
+    (with an INF plateau from padding in between) forms a bitonic
+    sequence, so log2(W) compare-exchange stages sort it fully.
+    Duplicate ids still carry equal distances and land adjacent, which
+    is all _dedup_adjacent needs (the merge is not stable, but
+    in-pool candidates are masked before scoring, so duplicates are
+    only same-hop diamond twins — indistinguishable copies).
+    """
+    B, C = cand_d.shape
+    cd, ci = jax.lax.sort((cand_d, cand_i), dimension=1, num_keys=1,
+                          is_stable=True)
+    W = P + C
+    W2 = 1 << (W - 1).bit_length()
+    pad = W2 - W
+    if pad:
+        cd = jnp.pad(cd, ((0, 0), (0, pad)), constant_values=INF_DIST)
+        ci = jnp.pad(ci, ((0, 0), (0, pad)), constant_values=-1)
+    d = jnp.concatenate([pool_d, cd[:, ::-1]], axis=1)
+    i = jnp.concatenate([pool_i, ci[:, ::-1]], axis=1)
+    s = W2 // 2
+    while s >= 1:
+        d4 = d.reshape(B, -1, 2, s)
+        i4 = i.reshape(B, -1, 2, s)
+        a_d, b_d = d4[:, :, 0], d4[:, :, 1]
+        a_i, b_i = i4[:, :, 0], i4[:, :, 1]
+        swap = a_d > b_d
+        lo_d = jnp.where(swap, b_d, a_d)
+        hi_d = jnp.where(swap, a_d, b_d)
+        lo_i = jnp.where(swap, b_i, a_i)
+        hi_i = jnp.where(swap, a_i, b_i)
+        d = jnp.stack([lo_d, hi_d], axis=2).reshape(B, W2)
+        i = jnp.stack([lo_i, hi_i], axis=2).reshape(B, W2)
+        s //= 2
+    return d[:, :P], i[:, :P]
+
+
 def _score_hop(g: DeviceGraph, queries, q_sq, nb_safe, metric, precision):
     """Distances from each query to its gathered candidate slots.
 
@@ -102,7 +146,8 @@ def _entry_dist(g: DeviceGraph, queries, q_sq, entry_ids, metric, precision):
 def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
                       q_sq: jnp.ndarray, start_ids: jnp.ndarray,
                       start_d: jnp.ndarray, pool_size: int, max_hops: int,
-                      metric: str, precision, expand: int = 1
+                      metric: str, precision, expand: int = 1,
+                      merge: str = "sort"
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam search one layer for a batch of queries.
 
@@ -161,6 +206,11 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
                                       num_keys=1, is_stable=True)
         pool_d, pool_i, _ = _dedup_adjacent(pool_d, pool_i,
                                             pool_i < -1)
+        if merge == "bitonic":
+            # push dedup holes to the tail: the bitonic merge requires
+            # a hole-free ascending pool (one-time cost at init)
+            pool_d, pool_i = jax.lax.sort((pool_d, pool_i), dimension=1,
+                                          num_keys=1, is_stable=True)
     expanded = pool_i < -1
     hop0 = jnp.min(vary0)
 
@@ -229,17 +279,39 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
         # top_k + two take_along_axis gathers (measured ~4 ms/hop).
         # The expanded flag rides in bit 30 of the id operand (ids are
         # dense slots << 2^30), so the sort moves 2 operands, not 3.
-        md = jnp.concatenate([pool_d, d], axis=1)           # [B, P+E*M]
+        # merge="bitonic" exploits the pool's sorted invariant: sort
+        # only the narrow candidate block, then one log2(W)-stage
+        # bitonic merge network.
         ei = jnp.where(expanded & (pool_i >= 0), pool_i | _EXP_BIT,
                        pool_i)
-        mi = jnp.concatenate([ei, new_i], axis=1)
-        sd, si = jax.lax.sort((md, mi), dimension=1, num_keys=1,
-                              is_stable=True)
-        pool_d, packed = sd[:, :P], si[:, :P]
-        expanded = packed >= _EXP_BIT
-        pool_i = jnp.where(packed >= 0, packed & (_EXP_BIT - 1), packed)
-        pool_d, pool_i, expanded = _dedup_adjacent(pool_d, pool_i,
-                                                   expanded)
+        if merge == "bitonic":
+            # Same-hop diamond twins are the ONLY possible duplicates
+            # (in-pool candidates were masked above), so dedup the
+            # narrow candidate block by O(C^2) id equality BEFORE the
+            # merge — the pool then never develops holes and its
+            # ascending invariant (the merge's precondition) is
+            # maintained with no per-hop full sort anywhere.
+            C = new_i.shape[1]
+            tri = jnp.tril(jnp.ones((C, C), bool), k=-1)
+            is_dup = ((new_i[:, :, None] == new_i[:, None, :])
+                      & (new_i[:, :, None] >= 0) & tri[None]).any(-1)
+            d = jnp.where(is_dup, INF_DIST, d)
+            new_i = jnp.where(is_dup, -1, new_i)
+            pool_d, packed = _bitonic_merge(pool_d, ei, d, new_i, P)
+            expanded = packed >= _EXP_BIT
+            pool_i = jnp.where(packed >= 0, packed & (_EXP_BIT - 1),
+                               packed)
+        else:
+            md = jnp.concatenate([pool_d, d], axis=1)       # [B, P+E*M]
+            mi = jnp.concatenate([ei, new_i], axis=1)
+            sd, si = jax.lax.sort((md, mi), dimension=1, num_keys=1,
+                                  is_stable=True)
+            pool_d, packed = sd[:, :P], si[:, :P]
+            expanded = packed >= _EXP_BIT
+            pool_i = jnp.where(packed >= 0, packed & (_EXP_BIT - 1),
+                               packed)
+            pool_d, pool_i, expanded = _dedup_adjacent(pool_d, pool_i,
+                                                       expanded)
         j, take = select(pool_d, pool_i, expanded)
         return pool_d, pool_i, expanded, j, take, hop + 1
 
@@ -257,12 +329,13 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric", "max_hops", "fast_math",
-                     "expand", "ef_upper", "device_rerank"))
+                     "expand", "ef_upper", "device_rerank", "merge"))
 def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                  metric: str = "cosine", max_hops: int = 128,
                  fast_math: bool = False, expand: int = 1,
                  ef_upper: int = 0, device_rerank: bool = True,
-                 seed_ids: jnp.ndarray | None = None
+                 seed_ids: jnp.ndarray | None = None,
+                 merge: str = "sort"
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full hierarchical search for a batch of queries.
 
@@ -321,7 +394,8 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                                        entry_d, pool_size=P_up,
                                        max_hops=max_hops,
                                        metric=metric, precision=precision,
-                                       expand=min(expand, P_up))
+                                       expand=min(expand, P_up),
+                                       merge=merge)
             best_i, best_d = pi[:, 0], pd[:, 0]
             keep = best_i >= 0
             entry_ids = jnp.where(keep, best_i, entry_ids)
@@ -330,7 +404,7 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
     pd, pi = beam_search_layer(g, 0, queries, q_sq, entry_ids, entry_d,
                                pool_size=P0, max_hops=max_hops,
                                metric=metric, precision=precision,
-                               expand=expand)
+                               expand=expand, merge=merge)
     if device_rerank and (fast_math or g.qvec is not None):
         # f32 rerank of the head of the pool: traversal ordering ran in
         # bf16 (and/or against the int8 store); reported distances (and
