@@ -73,6 +73,9 @@ class Graph:
         self.seed_width = 16
         #: pivot-count cap (subset scanned by the entry matmul)
         self.max_pivots = 4096
+        #: per-hop pool update: "sort" (full stable lax.sort) or
+        #: "bitonic" (sorted-pool merge network, core/search.py)
+        self.merge_strategy = "sort"
 
     @property
     def block_layout(self) -> bool:
@@ -367,12 +370,13 @@ class Graph:
             _, i = search_graph(g, jnp.asarray(queries), k=R, ef=ef,
                                 metric=self.metric, max_hops=hops,
                                 expand=expand, fast_math=self.fast_math,
-                                device_rerank=False, seed_ids=seed_ids)
+                                device_rerank=False, seed_ids=seed_ids,
+                                merge=self.merge_strategy)
             return self._host_rerank(queries[:nq], np.asarray(i[:nq]), k)
         d, i = search_graph(g, jnp.asarray(queries), k=k, ef=ef,
                             metric=self.metric, max_hops=hops,
                             expand=expand, fast_math=self.fast_math,
-                            seed_ids=seed_ids)
+                            seed_ids=seed_ids, merge=self.merge_strategy)
         return np.asarray(d[:nq]), np.asarray(i[:nq], np.int64)
 
     def _host_rerank(self, queries: np.ndarray, cand: np.ndarray, k: int
