@@ -68,6 +68,12 @@ def main():
         build_s = time.perf_counter() - t0
         emit({"op": "device_build", "n": n, "wave": wave, "kind": kind,
               "quant_descent": quant, "seconds": round(build_s, 1)})
+        if n >= 200_000:  # cache: serving reruns skip the long build
+            from hnsw_tpu.io.codec import save_graph
+            try:
+                save_graph(g, f"/tmp/g1m_{kind}_{n}.npz")
+            except Exception as e:  # cache is best-effort
+                print(f"# graph cache save failed: {e}", flush=True)
         dev = g.device_graph()
         gt, exact_qps = bench_exact(dev.vectors, dev.sq_norms, dev.alive)
     else:
