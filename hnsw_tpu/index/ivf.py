@@ -128,7 +128,11 @@ def _scan_blocks(queries, q_rows, blocks, block_sq, block_valid,
     """
     safe = jnp.clip(q_rows, 0, queries.shape[0] - 1)
     qg = queries[safe]                                   # [P, Qp, D]
+    # HIGHEST: the probed scan IS the final ranking (no rerank stage).
+    # DEFAULT (bf16) cannot order near-ties inside tight clusters —
+    # measured 1M clustered recall froze at .41 across ALL nprobe.
     gram = jnp.einsum("pqd,pcd->pqc", qg, blocks,
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
     q_sq = jnp.sum(queries * queries, axis=-1)[safe]     # [P, Qp]
     if metric == "cosine":
