@@ -63,10 +63,17 @@ def main():
     q = rng.standard_normal((B, d)).astype(np.float32)
     vd = jnp.asarray(data)
     sq = jnp.sum(vd * vd, axis=1)
-    _, gt = exact_topk(jnp.asarray(q), vd, sq, jnp.ones((n,), bool),
-                       k=k, metric="cosine")
+    alive = jnp.ones((n,), bool)
+    qd = jnp.asarray(q)
+    _, gt = exact_topk(qd, vd, sq, alive, k=k, metric="cosine")
     gt = np.asarray(gt)
-    del vd, sq
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _, ii = exact_topk(qd, vd, sq, alive, k=k, metric="cosine")
+    jax.block_until_ready(ii)
+    emit({"op": "exact", "n": n, "kind": kind, "recall": 1.0,
+          "qps": round(3 * B / (time.perf_counter() - t0))})
+    del vd, sq, alive
 
     efs = (192, 384, 768) if kind == "random" else (96, 192, 384)
     for cfg in ("base", "blockpiv"):
