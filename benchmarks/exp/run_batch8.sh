@@ -6,6 +6,8 @@ set -x
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH}
 export HNSW_TPU_BUILD_PROGRESS=1
+timeout 1800 python benchmarks/exp/select1m.py
+timeout 1800 python bench.py
 timeout 7200 python benchmarks/exp/serve1m.py clustered 1000000
 timeout 3600 python benchmarks/exp/scale_build.py 1000000 16384 clustered quant ivf
 timeout 7200 python benchmarks/exp/serve1m.py random 1000000

@@ -99,21 +99,37 @@ def exact_topk(queries: jnp.ndarray, vectors: jnp.ndarray,
         lc = vldpad.reshape(n_chunks, chunk)
 
         kk = min(k_scan, chunk)
-        init_d = jnp.full((q.shape[0], kk), INF_DIST, jnp.float32)
-        init_i = jnp.full((q.shape[0], kk), -1, jnp.int32)
-
-        def body(carry, xs):
-            best_d, best_i = carry
-            vec, sq, vld, base = xs
-            d = score(vec, sq, vld)
-            dk, ik = select(d, kk)
-            ik = ik + base
-            best_d, best_i = merge_topk(best_d, best_i, dk, ik, kk)
-            return (best_d, best_i), None
-
         bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-        (dk, ik), _ = jax.lax.scan(body, (init_d, init_i),
-                                   (vc, sc, lc, bases))
+        if fast_math and n_chunks * kk <= 8192:
+            # Stack per-chunk winners and select ONCE at the end: the
+            # running per-chunk merge was 61 extra top_k calls at 1M
+            # (measured 134 of 177 ms/batch; select1m rows).
+            def body(_, xs):
+                vec, sq, vld, base = xs
+                d = score(vec, sq, vld)
+                dk, ik = select(d, kk)
+                return 0, (dk, ik + base)
+
+            _, (dks, iks) = jax.lax.scan(body, 0, (vc, sc, lc, bases))
+            d_all = jnp.moveaxis(dks, 0, 1).reshape(q.shape[0], -1)
+            i_all = jnp.moveaxis(iks, 0, 1).reshape(q.shape[0], -1)
+            dk, pos = select(d_all, min(kk, d_all.shape[1]))
+            ik = jnp.take_along_axis(i_all, pos, axis=1)
+        else:
+            init_d = jnp.full((q.shape[0], kk), INF_DIST, jnp.float32)
+            init_i = jnp.full((q.shape[0], kk), -1, jnp.int32)
+
+            def body(carry, xs):
+                best_d, best_i = carry
+                vec, sq, vld, base = xs
+                d = score(vec, sq, vld)
+                dk, ik = select(d, kk)
+                ik = ik + base
+                best_d, best_i = merge_topk(best_d, best_i, dk, ik, kk)
+                return (best_d, best_i), None
+
+            (dk, ik), _ = jax.lax.scan(body, (init_d, init_i),
+                                       (vc, sc, lc, bases))
 
     if fast_math:
         # f32 rerank of the widened bf16 pool -> exact final ordering
