@@ -79,6 +79,22 @@ def main():
     print(f"# hybrid/exact tier: {exact_qps:.0f} qps "
           f"recall@10={exact_recall:.4f}", file=sys.stderr)
 
+    # fast serving mode: bf16 scan + hardware approx top-k + f32 rerank
+    def serve_exact_fast():
+        dd, ii = exact_topk(queries, dev.vectors, dev.sq_norms, dev.alive,
+                            k=k, metric="cosine", fast_math=True)
+        ii.block_until_ready()
+        return ii
+
+    dt, ii = _bench(serve_exact_fast)
+    fast_qps = n_q / dt
+    ii = np.asarray(ii)
+    hits = sum(len(set(map(int, ii[q])) & set(map(int, gt[q])))
+               for q in range(n_q))
+    fast_recall = hits / (n_q * k)
+    print(f"# hybrid/exact fast_math: {fast_qps:.0f} qps "
+          f"recall@10={fast_recall:.4f}", file=sys.stderr)
+
     # ---- pure HNSW graph tier --------------------------------------------
     # serving config: neighbor-block layout + pivot-seeded entry
     # (benchmarks/exp/block_hop.py ablation), bf16 traversal, f32 rerank
@@ -112,6 +128,8 @@ def main():
         "unit": "qps",
         "vs_baseline": round(exact_qps / baseline_qps, 1),
         "recall": round(exact_recall, 4),
+        "exact_fast_qps": round(fast_qps, 0),
+        "exact_fast_recall": round(fast_recall, 4),
         "hnsw_qps_at_recall>=0.95": round(best95[1], 0),
         "hnsw_recall": round(best95[2], 4),
         "hnsw_qps_at_recall>=0.98": round(best98[1], 0),
