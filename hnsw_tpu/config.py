@@ -128,6 +128,10 @@ class HybridConfig:
     #: "ivf" (TPU-native partition scans — better recall/QPS on MXU).
     large_strategy: str = "lsh"
     ivf_nprobe: int = 8
+    #: serve the exact tier with the bf16 + hardware-approx-top-k +
+    #: f32-rerank scan (measured 7.7x the f32 oracle at 1M, recall
+    #: >=0.999 vs oracle). False keeps the exact tier exact.
+    fast_exact: bool = False
 
     def validate(self) -> None:
         if self.exact_threshold < 0:

@@ -44,7 +44,8 @@ class HybridIndex:
     def __init__(self, config: Optional[HybridConfig] = None, **kw):
         self.cfg = config or HybridConfig(**kw)
         self.cfg.validate()
-        self.exact = ExactIndex(metric=self.cfg.metric)
+        self.exact = ExactIndex(metric=self.cfg.metric,
+                                fast_math=self.cfg.fast_exact)
         self.graph = Graph(m=self.cfg.m, ml=self.cfg.ml,
                            ef_search=self.cfg.ef_search,
                            metric=self.cfg.metric, seed=self.cfg.seed)
