@@ -47,21 +47,32 @@ def main():
     q = rng.standard_normal((B, d)).astype(np.float32)
     _, gt = np_exact_topk(q, data, k=k, metric="cosine")
 
+    # Interleaved arms: relay throughput drifts minute-to-minute, so
+    # measure (sort, bitonic) alternately per ef over ROUNDS rounds and
+    # report the per-arm MEDIAN — back-to-back blocks confounded drift
+    # with the real delta (ROADMAP item 9).
     efs = (192, 384) if n <= 30_000 else (192, 384, 768)
-    for merge in ("sort", "bitonic"):
-        g.merge_strategy = merge
-        for ef in efs:
-            f = lambda: g.batch_search(q, k, ef=ef)
-            keys, _ = f()
-            t0 = time.perf_counter()
-            for _ in range(3):
-                keys, _ = f()
-            dt = (time.perf_counter() - t0) / 3
-            hits = sum(len(set(keys[r]) & set(map(int, gt[r])))
-                       for r in range(B))
+    ROUNDS = 5
+    for ef in efs:
+        times = {"sort": [], "bitonic": []}
+        hits_by = {}
+        for merge in ("sort", "bitonic"):   # warm both compiles first
+            g.merge_strategy = merge
+            keys, _ = g.batch_search(q, k, ef=ef)
+            hits_by[merge] = sum(
+                len(set(keys[r]) & set(map(int, gt[r])))
+                for r in range(B))
+        for _ in range(ROUNDS):
+            for merge in ("sort", "bitonic"):
+                g.merge_strategy = merge
+                t0 = time.perf_counter()
+                g.batch_search(q, k, ef=ef)
+                times[merge].append(time.perf_counter() - t0)
+        for merge in ("sort", "bitonic"):
+            dt = float(np.median(times[merge]))
             emit({"op": "merge_ab", "n": n, "merge": merge, "ef": ef,
                   "qps": round(B / dt),
-                  "recall": round(hits / (B * k), 4)})
+                  "recall": round(hits_by[merge] / (B * k), 4)})
 
 
 if __name__ == "__main__":
