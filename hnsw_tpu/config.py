@@ -63,6 +63,12 @@ class GraphConfig:
     #: closest-M (graph.go:41-81), which degrades recall sharply on
     #: unstructured high-dim data.
     diversify: bool = True
+    #: also apply the diversity heuristic when RE-selecting rows hit by
+    #: reverse edges in the device builder (forward rows always follow
+    #: ``diversify``). Off by default: measured recall delta vs
+    #: closest-deg is nil at 10k while the heuristic adds an extra
+    #: [chunk, C, C] pairwise gram per reverse-update chunk.
+    reverse_diversify: bool = False
 
     @property
     def m_base(self) -> int:

@@ -17,8 +17,9 @@ levels (KBs). Edge assembly runs fully on device:
   * reverse edges: sort-based dense segmentation — rank incoming edges
     per target with an argsort + cummax trick, scatter the best m into
     a [cap, m] incoming buffer, then one dense masked top-m merge of
-    (existing row ∪ incoming) per target (plain closest-m; the measured
-    recall delta vs heuristic re-selection here is nil).
+    (existing row ∪ incoming) per target (plain closest-m by default —
+    the measured recall delta vs heuristic re-selection is nil at 10k;
+    GraphConfig.reverse_diversify switches to the diversity heuristic).
 
 The host arrays are synchronized ONCE at the end (single D2H).
 """
@@ -129,12 +130,18 @@ def _assemble_wave_rows(vectors, sq, cand_d_l, cand_i_l, intra_d,
     return jnp.where((part_idx >= 0)[:, None], rows, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("deg", "metric"))
-def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric):
+@functools.partial(jax.jit, static_argnames=("deg", "metric", "diversify"))
+def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric,
+                    diversify=False):
     """Apply reverse edges (tgt <- src) to one layer's neighbor table.
 
     nb_l: [cap, Wd] int32; tgt/src: [E] int32 (-1 pads skipped).
-    Per target keeps the closest ``deg`` of (existing ∪ incoming).
+    Per target keeps the closest ``deg`` of (existing ∪ incoming) —
+    or, with ``diversify``, re-selects the row with the Malkov
+    neighbor-diversity heuristic (_diverse_select_dev), matching the
+    forward-edge selection. Closest-deg is the measured-equal default
+    (no recall delta at 10k; the heuristic costs an extra [A, C, C]
+    candidate-pairwise gram per chunk).
 
     Work scales with the EDGE count, not cap: touched targets are
     compacted (<= E of them) and re-selected in bounded chunks — a dense
@@ -186,9 +193,15 @@ def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric):
                & (rows_inc >= 0))
         comb_d = comb_d.at[:, Wd:].set(
             jnp.where(dup, INF_DIST, comb_d[:, Wd:]))
-        negv, pos = jax.lax.top_k(-comb_d, deg)
-        new_rows = jnp.where(-negv < INF_DIST,
-                             jnp.take_along_axis(comb, pos, axis=1), -1)
+        if diversify:
+            new_rows = _diverse_select_dev(comb, comb_d, vectors, sq,
+                                           deg=deg, metric=metric,
+                                           diversify=True)
+        else:
+            negv, pos = jax.lax.top_k(-comb_d, deg)
+            new_rows = jnp.where(-negv < INF_DIST,
+                                 jnp.take_along_axis(comb, pos, axis=1),
+                                 -1)
         if Wd > deg:
             new_rows = jnp.concatenate(
                 [new_rows, jnp.full((anchors.shape[0], Wd - deg), -1,
@@ -394,7 +407,8 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             rev_t = jnp.where((rev_t >= 0) & (rev_s < cap_pad), rev_t, -1)
             rev_s = jnp.where(rev_t >= 0, rev_s, -1)
             nb_l = _reverse_update(nb_l, vectors_dev, sq_dev, rev_t,
-                                   rev_s, deg=deg, metric=metric)
+                                   rev_s, deg=deg, metric=metric,
+                                   diversify=cfg.reverse_diversify)
             nb_dev = nb_dev.at[layer].set(nb_l)
 
         # commit wave (device scatters + host bookkeeping)
@@ -529,7 +543,8 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
             rev_t = jnp.where((rev_t >= 0) & (rev_s < cap_pad), rev_t, -1)
             rev_s = jnp.where(rev_t >= 0, rev_s, -1)
             nb_l = _reverse_update(nb_l, vectors_dev, sq_dev, rev_t,
-                                   rev_s, deg=deg, metric=metric)
+                                   rev_s, deg=deg, metric=metric,
+                                   diversify=cfg.reverse_diversify)
             nb_dev = nb_dev.at[layer].set(nb_l)
 
     _sparse_sync(host, nb_dev, host.levels[:ncap], ncap)

@@ -153,3 +153,24 @@ def test_scoped_refine_recovers_post_delete_recall():
 
     assert post_refined >= post_plain - 0.02, (post_plain, post_refined)
     assert post_refined >= 0.95 * pre, (pre, post_plain, post_refined)
+
+def test_reverse_diversify_device_build():
+    """GraphConfig.reverse_diversify: heuristic re-selection of rows hit
+    by reverse edges in the device builder — recall stays within the
+    parity band of the closest-deg default (the measured delta is nil)."""
+    from hnsw_tpu.config import GraphConfig
+    n, d, k = 800, 24, 10
+    v = make_vectors(n, d, seed=50)
+    q = make_vectors(40, d, seed=51)
+    _, gt = np_exact_topk(q, v, k, "cosine")
+
+    g0 = Graph(seed=0, ef_construction=100)
+    g0.build(list(range(n)), v, method="device", wave=256)
+    g1 = Graph(config=GraphConfig(seed=0, ef_construction=100,
+                                  reverse_diversify=True))
+    g1.build(list(range(n)), v, method="device", wave=256)
+
+    r0 = _recall(g0.batch_search(q, k, ef=60)[0], gt, k)
+    r1 = _recall(g1.batch_search(q, k, ef=60)[0], gt, k)
+    assert r1 >= r0 - 0.1, (r0, r1)
+    assert r1 >= 0.85
