@@ -21,6 +21,8 @@ prefer the first live replica.
 from __future__ import annotations
 
 import hashlib
+import warnings
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Hashable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -73,6 +75,39 @@ class MultiHostIndex:
             raise ValueError("replicas must be in [1, num_slices]")
         self.transport = transport
         self.replicas = replicas
+        # Slice calls fan out concurrently: over DCN each slice's
+        # latency is independent, so sequential fan-out would sum them.
+        # The pool is per-index and sized to the slice count (bounded).
+        self._pool = ThreadPoolExecutor(
+            max_workers=transport.num_slices(),
+            thread_name_prefix="mh-slice")
+
+    def _fan_out(self, calls: Sequence[Tuple[int, str, tuple]],
+                 tolerate_failures: bool) -> List[Any]:
+        """Run slice calls concurrently. Returns a result per call;
+        failed calls yield None when ``tolerate_failures`` (reads with
+        replicas — the surviving replicas still cover every key),
+        otherwise the first failure re-raises."""
+        futs = [self._pool.submit(self.transport.call, s, m, *a)
+                for s, m, a in calls]
+        results: List[Any] = []
+        n_failed = 0
+        first_err: Optional[BaseException] = None
+        for (s, m, _), f in zip(calls, futs):
+            try:
+                results.append(f.result())
+            except Exception as e:
+                results.append(None)
+                n_failed += 1
+                if first_err is None:
+                    first_err = e
+                warnings.warn(f"slice {s} {m} failed: {e}",
+                              RuntimeWarning, stacklevel=3)
+        if first_err is not None and not tolerate_failures:
+            raise first_err
+        if calls and n_failed == len(calls):
+            raise first_err  # every slice down: nothing to serve
+        return results
 
     @property
     def n(self) -> int:
@@ -89,9 +124,10 @@ class MultiHostIndex:
         for i, k in enumerate(keys):
             for s in self._owners(k):
                 groups.setdefault(s, []).append(i)
-        for s, idxs in groups.items():
-            self.transport.call(s, "batch_add",
-                                [keys[i] for i in idxs], vectors[idxs])
+        self._fan_out(
+            [(s, "batch_add", ([keys[i] for i in idxs], vectors[idxs]))
+             for s, idxs in groups.items()],
+            tolerate_failures=False)  # writes must not silently drop
 
     def add(self, key: Hashable, vector) -> None:
         self.batch_add([key], np.asarray(vector, np.float32)[None])
@@ -102,9 +138,12 @@ class MultiHostIndex:
             for s in self._owners(k):
                 groups.setdefault(s, []).append(i)
         ok = [False] * len(keys)
-        for s, idxs in groups.items():
-            res = self.transport.call(s, "batch_delete",
-                                      [keys[i] for i in idxs])
+        items = list(groups.items())
+        res_per = self._fan_out(
+            [(s, "batch_delete", ([keys[i] for i in idxs],))
+             for s, idxs in items],
+            tolerate_failures=False)
+        for (s, idxs), res in zip(items, res_per):
             for i, r in zip(idxs, res):
                 ok[i] = ok[i] or bool(r)
         return ok
@@ -129,9 +168,26 @@ class MultiHostIndex:
         """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         Q = queries.shape[0]
-        per_slice = [self.transport.call(s, "batch_search", queries, k,
-                                         **kw)
-                     for s in range(self.n)]
+        # Concurrent fan-out; with replicas > 1 a down slice is
+        # tolerated (its keys are still served by the surviving
+        # replicas — the docstring's read-failover promise). With
+        # replicas == 1 a slice failure loses real keys, so it raises.
+        futs = [self._pool.submit(self.transport.call, s, "batch_search",
+                                  queries, k, **kw)
+                for s in range(self.n)]
+        per_slice = []
+        first_err: Optional[BaseException] = None
+        for s, f in enumerate(futs):
+            try:
+                per_slice.append(f.result())
+            except Exception as e:
+                if first_err is None:
+                    first_err = e
+                warnings.warn(f"slice {s} batch_search failed: {e}",
+                              RuntimeWarning, stacklevel=2)
+        if first_err is not None and (self.replicas == 1
+                                      or not per_slice):
+            raise first_err
         out_keys: List[List[Any]] = []
         out_d = np.full((Q, k), INF_DIST, np.float32)
         for qi in range(Q):
@@ -161,3 +217,9 @@ class MultiHostIndex:
         return {"slices": self.n, "replicas": self.replicas,
                 "per_slice": [self.transport.call(s, "__len__")
                               for s in range(self.n)]}
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+        closer = getattr(self.transport, "close", None)
+        if closer is not None:
+            closer()

@@ -32,6 +32,7 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -126,6 +127,11 @@ class SliceServer:
     def __init__(self, index: Any, host: str = "127.0.0.1",
                  port: int = 0):
         self.index = index
+        # live connections, so shutdown() actually stops SERVING —
+        # ThreadingTCPServer.shutdown only stops accepting; established
+        # daemon-thread handlers would otherwise keep answering.
+        self._conns: set = set()
+        self._conns_lock = threading.Lock()
 
         outer = self
 
@@ -133,6 +139,8 @@ class SliceServer:
             def handle(self):  # one connection, many requests
                 sock = self.request
                 sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                with outer._conns_lock:
+                    outer._conns.add(sock)
                 try:
                     while True:
                         try:
@@ -156,6 +164,8 @@ class SliceServer:
                                          "error": f"{type(e).__name__}: {e}"},
                                   [])
                 finally:
+                    with outer._conns_lock:
+                        outer._conns.discard(sock)
                     sock.close()
 
         class Server(socketserver.ThreadingTCPServer):
@@ -177,32 +187,71 @@ class SliceServer:
     def shutdown(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+        with self._conns_lock:
+            conns = list(self._conns)
+            self._conns.clear()
+        for c in conns:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
 
 
 class SocketTransport(Transport):
     """Transport over persistent TCP connections, one per slice.
 
     ``addrs`` = [(host, port), ...] of running SliceServers. Connections
-    are opened lazily and re-opened once on failure (a restarted slice
-    keeps serving — crash recovery stays the slice's own business via
-    its DiskGraph/WAL persistence).
+    are opened lazily and re-opened on failure with bounded retries
+    (a restarted slice keeps serving — crash recovery stays the slice's
+    own business via its DiskGraph/WAL persistence).
+
+    Thread safety: calls to the SAME slice are serialized by a per-slice
+    lock (the wire protocol is one-request-one-response per connection);
+    calls to DIFFERENT slices run concurrently — the shape
+    MultiHostIndex's concurrent fan-out needs.
     """
 
     def __init__(self, addrs: Sequence[Tuple[str, int]],
-                 timeout: Optional[float] = 30.0):
+                 timeout: Optional[float] = 30.0,
+                 connect_retries: int = 2,
+                 retry_backoff: float = 0.2):
         self.addrs = [tuple(a) for a in addrs]
         self.timeout = timeout
+        self.connect_retries = max(1, connect_retries)
+        self.retry_backoff = retry_backoff
         self._socks: Dict[int, socket.socket] = {}
-        self._lock = threading.Lock()
+        self._locks = [threading.Lock() for _ in self.addrs]
 
     def num_slices(self) -> int:
         return len(self.addrs)
 
     def _connect(self, slice_id: int) -> socket.socket:
-        s = socket.create_connection(self.addrs[slice_id],
-                                     timeout=self.timeout)
-        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        return s
+        last: Optional[Exception] = None
+        for attempt in range(self.connect_retries):
+            try:
+                s = socket.create_connection(self.addrs[slice_id],
+                                             timeout=self.timeout)
+                s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                return s
+            except OSError as e:
+                last = e
+                if attempt + 1 < self.connect_retries:
+                    time.sleep(self.retry_backoff * (attempt + 1))
+        raise ConnectionError(
+            f"slice {slice_id} unreachable at {self.addrs[slice_id]}: "
+            f"{last}") from last
+
+    def _drop(self, slice_id: int) -> None:
+        s = self._socks.pop(slice_id, None)
+        if s is not None:
+            try:
+                s.close()
+            except OSError:
+                pass
 
     def _roundtrip(self, sock, method, args, kw):
         frames: List[np.ndarray] = []
@@ -215,23 +264,27 @@ class SocketTransport(Transport):
         return _dec(resp.get("result"), rframes)
 
     def call(self, slice_id: int, method: str, *args, **kw):
-        with self._lock:
+        with self._locks[slice_id]:
             sock = self._socks.get(slice_id)
-        try:
-            if sock is None:
-                raise ConnectionError
-            return self._roundtrip(sock, method, args, kw)
-        except (ConnectionError, OSError):
-            sock = self._connect(slice_id)  # one reconnect attempt
-            with self._lock:
+            try:
+                if sock is None:
+                    raise ConnectionError
+                return self._roundtrip(sock, method, args, kw)
+            except (ConnectionError, OSError, socket.timeout):
+                # stale/broken connection: reconnect and replay once.
+                # Only safe because every wire method is idempotent-ish
+                # at the index level (adds overwrite, deletes return
+                # bool, searches are pure).
+                self._drop(slice_id)
+                sock = self._connect(slice_id)
                 self._socks[slice_id] = sock
-            return self._roundtrip(sock, method, args, kw)
+                try:
+                    return self._roundtrip(sock, method, args, kw)
+                except (ConnectionError, OSError, socket.timeout):
+                    self._drop(slice_id)
+                    raise
 
     def close(self) -> None:
-        with self._lock:
-            for s in self._socks.values():
-                try:
-                    s.close()
-                except OSError:
-                    pass
-            self._socks.clear()
+        for slice_id, lock in enumerate(self._locks):
+            with lock:
+                self._drop(slice_id)

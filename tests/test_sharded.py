@@ -220,3 +220,58 @@ def test_multihost_over_tcp_sockets():
         tr.close()
         for s in servers:
             s.shutdown()
+
+def test_multihost_tcp_dead_slice_failover_and_reconnect():
+    """Transport hardening: (a) with replicas, search keeps serving when
+    a slice SERVER dies (read failover — the reference sketch's replica
+    promise); (b) a RESTARTED server on the same port is transparently
+    reconnected; (c) with replicas=1 a dead slice raises instead of
+    silently dropping keys."""
+    import warnings
+
+    import numpy as np
+    import pytest
+    from hnsw_tpu.index.exact import ExactIndex
+    from hnsw_tpu.parallel.multihost import MultiHostIndex
+    from hnsw_tpu.parallel.rpc import SliceServer, SocketTransport
+    from tests.conftest import make_vectors
+
+    n, d = 200, 8
+    v = make_vectors(n, d, seed=134)
+    idxs = [ExactIndex(metric="cosine") for _ in range(3)]
+    servers = [SliceServer(ix) for ix in idxs]
+    addrs = [s.start() for s in servers]
+    tr = SocketTransport(addrs, timeout=5.0, retry_backoff=0.05)
+    try:
+        mh = MultiHostIndex(tr, replicas=2)
+        mh.batch_add(list(range(n)), v)
+
+        # (b) restart slice 0's server on the SAME port: the stale
+        # connection breaks mid-call and the transport reconnects.
+        assert tr.call(0, "__len__") > 0          # open the connection
+        servers[0].shutdown()
+        servers[0] = SliceServer(idxs[0], host=addrs[0][0],
+                                 port=addrs[0][1])
+        servers[0].start()
+        assert tr.call(0, "__len__") > 0          # replayed transparently
+
+        # (a) kill slice 1 for good: replicas still cover every key
+        servers[1].shutdown()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            keys, _ = mh.batch_search(v[:32], 1)
+        assert [r[0] for r in keys] == list(range(32))
+
+        # (c) no replicas -> a dead slice is an error, not silent loss
+        mh1 = MultiHostIndex(tr, replicas=1)
+        with pytest.raises(Exception):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                mh1.batch_search(v[:4], 1)
+    finally:
+        tr.close()
+        for s in servers:
+            try:
+                s.shutdown()
+            except Exception:
+                pass
