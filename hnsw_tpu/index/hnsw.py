@@ -238,8 +238,15 @@ class Graph:
         """Second-pass edge refinement against the final graph —
         recovers the recall that batched wave construction loses on
         early nodes (core/build_device.refine_device). ``slots`` scopes
-        the pass (post-delete repair)."""
+        the pass (post-delete repair); a scoped pass buckets the wave to
+        the affected-set size (pow2, min 256) so a 100-node repair does
+        not pay a 2048-wide construction descent — pow2 buckets keep the
+        compiled-shape count bounded (ROADMAP: fixed-size refine waves).
+        """
         from hnsw_tpu.core.build_device import refine_device
+        from hnsw_tpu.core.state import bucket_pow2
+        if slots is not None and len(slots):
+            wave = min(wave, bucket_pow2(len(slots), 256))
         refine_device(self.host, wave=wave, slots=slots)
         self._dirty = True
 
