@@ -214,6 +214,18 @@ def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric,
     return nb_l
 
 
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("layer",))
+def _set_layer(nb_dev, nb_l, layer: int):
+    """In-place (donated) update of one layer's neighbor table.
+
+    Outside jit, ``nb_dev.at[layer].set`` copies the whole [L, cap, Wd]
+    stack eagerly — a ~3 GB transient per layer update at 2M cap, which
+    is what capped single-chip builds at 1M. Donation lets XLA alias
+    the buffer."""
+    return nb_dev.at[layer].set(nb_l)
+
+
 def _sparse_sync(host: host_build.HostGraph, nb_dev, lv: np.ndarray,
                  ncap: int) -> None:
     """D2H of the final neighbor state: dense layer 0, sparse uppers.
@@ -251,7 +263,8 @@ def _sparse_sync(host: host_build.HostGraph, nb_dev, lv: np.ndarray,
 def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                        wave: int = 2048,
                        intra_k: Optional[int] = None,
-                       quant_descent: bool = False) -> None:
+                       quant_descent: bool = False,
+                       block_m: Optional[int] = None) -> None:
     """Device-resident wave insertion; syncs host arrays once at the end.
 
     ``quant_descent`` gives the construction descent the int8
@@ -318,6 +331,10 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
         qvec_dev = jnp.asarray(pad_rows(qh, 0, (cap_pad, store.dim)))
         qscale_dev = jnp.asarray(np.full((cap_pad,), gs, np.float32))
         block_scale = jnp.asarray(np.float32(gs))
+        if block_m is None and cap_pad * Wd * store.dim > 5 * 1024 ** 3:
+            # HBM guard: full blocks would not leave room for the
+            # descent working set on a 16 GB chip (2M+ builds)
+            block_m = max(8, Wd // 2)
 
     n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
     import os as _os
@@ -344,7 +361,12 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
         nbr_blocks = None
         if qvec_dev is not None:
             from hnsw_tpu.core.state import _gather_blocks
-            nbr_blocks = _gather_blocks(qvec_dev, nb_dev[0])
+            # drop the PREVIOUS wave's DeviceGraph (it pins the old
+            # block tensor) before gathering the new one — at 2M+ two
+            # live block tensors alone would exceed HBM
+            g = None  # noqa: F841
+            nbr_blocks = _gather_blocks(qvec_dev, nb_dev[0],
+                                        block_m=block_m)
         g = DeviceGraph(vectors=vectors_dev, sq_norms=sq_dev,
                         neighbors=nb_dev, levels=levels_dev,
                         alive=alive_dev,
@@ -409,7 +431,7 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             nb_l = _reverse_update(nb_l, vectors_dev, sq_dev, rev_t,
                                    rev_s, deg=deg, metric=metric,
                                    diversify=cfg.reverse_diversify)
-            nb_dev = nb_dev.at[layer].set(nb_l)
+            nb_dev = _set_layer(nb_dev, nb_l, layer)
 
         # commit wave (device scatters + host bookkeeping)
         upd = jnp.asarray(wslots.astype(np.int32))
@@ -435,7 +457,8 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
 
 
 def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
-                  slots=None, quant_descent: bool = False) -> None:
+                  slots=None, quant_descent: bool = False,
+                  block_m: Optional[int] = None) -> None:
     """Second-pass graph refinement.
 
     Re-runs the construction descent for every node against the FINAL
@@ -487,6 +510,10 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
         qvec_dev = jnp.asarray(pad_rows(qh, 0, (cap_pad, store.dim)))
         qscale_dev = jnp.asarray(np.full((cap_pad,), gs, np.float32))
         block_scale = jnp.asarray(np.float32(gs))
+        if block_m is None and cap_pad * Wd * store.dim > 5 * 1024 ** 3:
+            # HBM guard: full blocks would not leave room for the
+            # descent working set on a 16 GB chip (2M+ builds)
+            block_m = max(8, Wd // 2)
     n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
 
     for w0 in range(0, len(alive_slots), wave):
@@ -501,7 +528,12 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
         nbr_blocks = None
         if qvec_dev is not None:
             from hnsw_tpu.core.state import _gather_blocks
-            nbr_blocks = _gather_blocks(qvec_dev, nb_dev[0])
+            # drop the PREVIOUS wave's DeviceGraph (it pins the old
+            # block tensor) before gathering the new one — at 2M+ two
+            # live block tensors alone would exceed HBM
+            g = None  # noqa: F841
+            nbr_blocks = _gather_blocks(qvec_dev, nb_dev[0],
+                                        block_m=block_m)
         g = DeviceGraph(vectors=vectors_dev, sq_norms=sq_dev,
                         neighbors=nb_dev, levels=levels_dev,
                         alive=alive_dev,
@@ -545,6 +577,6 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
             nb_l = _reverse_update(nb_l, vectors_dev, sq_dev, rev_t,
                                    rev_s, deg=deg, metric=metric,
                                    diversify=cfg.reverse_diversify)
-            nb_dev = nb_dev.at[layer].set(nb_l)
+            nb_dev = _set_layer(nb_dev, nb_l, layer)
 
     _sparse_sync(host, nb_dev, host.levels[:ncap], ncap)

@@ -168,6 +168,12 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
     rows = jnp.arange(B)
     use_blocks = (layer == 0 and g.nbr_blocks is not None
                   and registered(metric) is None)
+    if use_blocks and g.nbr_blocks.shape[1] < M:
+        # narrow blocks (block_m < M0): the HBM-capacity knob for very
+        # large builds — the hop expands only the first block_m edges
+        # of each row (rows are selection-ordered, so these are the
+        # best/most diverse ones).
+        M = g.nbr_blocks.shape[1]
 
     # NO visited set. The pool is the dedup AND termination structure:
     #   * candidates already in the pool are masked by a broadcast
@@ -235,7 +241,7 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
         cur_safe = jnp.clip(jnp.where(take, cur, 0), 0, cap - 1)
         expanded = expanded.at[rows[:, None], j].max(take)
 
-        nbrs = neigh[cur_safe].reshape(B, E * M)             # [B, E*M]
+        nbrs = neigh[cur_safe][..., :M].reshape(B, E * M)    # [B, E*M]
         nb_ok = (nbrs >= 0) & jnp.repeat(take, M, axis=1)
         # Mask candidates already in the pool: without this, dups of the
         # best pool entries (equal-best distances) crowd out legitimate

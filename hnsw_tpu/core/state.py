@@ -20,6 +20,7 @@ index's life).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -98,7 +99,8 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
               store_dtype=np.float32,
               quantize: bool = False,
               hbm_vectors: bool = True,
-              block_layout: bool = False) -> DeviceGraph:
+              block_layout: bool = False,
+              block_m: int | None = None) -> DeviceGraph:
     """Upload padded host arrays to device, bucketing capacity.
 
     ``hbm_vectors=False`` (requires quantize=True) uploads only the int8
@@ -163,7 +165,7 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
     nb_dev = jnp.asarray(pad_rows(nb, -1))
     nbr_blocks = block_scale = None
     if block_layout and qvec is not None and nb_dev.shape[0]:
-        nbr_blocks = _gather_blocks(qvec, nb_dev[0])
+        nbr_blocks = _gather_blocks(qvec, nb_dev[0], block_m=block_m)
         block_scale = jnp.asarray(np.float32(gscale))
     return DeviceGraph(
         vectors=vec_dev,
@@ -179,8 +181,16 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
     )
 
 
-@jax.jit
-def _gather_blocks(qvec: jnp.ndarray, nb0: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("block_m",))
+def _gather_blocks(qvec: jnp.ndarray, nb0: jnp.ndarray,
+                   block_m: int | None = None) -> jnp.ndarray:
     """[cap, M0, D] int8 neighbor blocks via one device gather (rows for
-    -1 edges are arbitrary — the search hop masks them by id)."""
+    -1 edges are arbitrary — the search hop masks them by id).
+
+    ``block_m`` < M0 truncates each block to the first block_m edges
+    (rows are selection-ordered, best first) — the HBM knob that makes
+    2M+ single-chip builds fit (full blocks are cap*M0*D bytes: 8.6 GB
+    at 2M, M0=32, D=128)."""
+    if block_m is not None and block_m < nb0.shape[1]:
+        nb0 = nb0[:, :block_m]
     return qvec[jnp.clip(nb0, 0, qvec.shape[0] - 1)]

@@ -68,6 +68,9 @@ class Graph:
         self._hbm_mode = "full"
         self._entry_mode = "descent"
         self._block_layout = False
+        #: narrow the serving neighbor blocks to the first block_m
+        #: edges per row (HBM capacity knob; None = full rows)
+        self.block_m: Optional[int] = None
         self._pivot_cache = None
         #: seeds per query when entry_mode == "pivots"
         self.seed_width = 16
@@ -200,7 +203,8 @@ class Graph:
 
     def build(self, keys: Sequence[Hashable], vectors,
               wave: int = 1024, method: str = "auto",
-              quant_descent: bool = False) -> None:
+              quant_descent: bool = False,
+              block_m: Optional[int] = None) -> None:
         """Bulk construction. Existing keys are replaced; duplicate keys
         within the batch are an error.
 
@@ -210,6 +214,11 @@ class Graph:
           "auto"   — host for small batches (measured faster below ~32k:
                      94s for 30k sequential vs 218s device waves on the
                      tunneled TPU; quality identical), device above.
+
+        ``block_m`` narrows the quant-descent neighbor blocks to the
+        first block_m edges per row (HBM knob for 2M+ single-chip
+        builds; None = full rows, auto-halved when full blocks would
+        exceed ~5 GB).
         """
         vectors = np.asarray(vectors, np.float32)
         if len(keys) != len(vectors):
@@ -231,7 +240,8 @@ class Graph:
         else:
             from hnsw_tpu.core.build_device import bulk_insert_device
             bulk_insert_device(self.host, slot_list, wave=wave,
-                               quant_descent=quant_descent)
+                               quant_descent=quant_descent,
+                               block_m=block_m)
         self._dirty = True
 
     def refine(self, wave: int = 2048, slots=None) -> None:
@@ -333,7 +343,8 @@ class Graph:
                 entry, cap_pad=cap, store_dtype=sd,
                 quantize=self._hbm_mode == "quantized",
                 hbm_vectors=self._hbm_mode != "quantized",
-                block_layout=self._block_layout)
+                block_layout=self._block_layout,
+                block_m=self.block_m)
             self._dirty = False
         return self._dev
 

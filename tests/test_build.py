@@ -174,3 +174,28 @@ def test_reverse_diversify_device_build():
     r1 = _recall(g1.batch_search(q, k, ef=60)[0], gt, k)
     assert r1 >= r0 - 0.1, (r0, r1)
     assert r1 >= 0.85
+
+def test_block_m_narrow_blocks_build_and_serve():
+    """block_m (the 2M+ HBM knob): quant-descent build with narrowed
+    neighbor blocks keeps construction quality (edge selection rescores
+    f32); serving with narrow blocks trades recall for block memory and
+    the DeviceGraph reflects the narrower tensor."""
+    from hnsw_tpu.ops.topk import np_exact_topk as _gt
+    n, d, k = 700, 24, 10
+    v = make_vectors(n, d, seed=60)
+    q = make_vectors(32, d, seed=61)
+    _, gt = _gt(q, v, k, "cosine")
+
+    g = Graph(seed=0, ef_construction=100)
+    g.build(list(range(n)), v, method="device", wave=256,
+            quant_descent=True, block_m=8)
+    r = _recall(g.batch_search(q, k, ef=80)[0], gt, k)
+    assert r >= 0.85, r
+
+    g.fast_math = True
+    g.block_layout = True
+    g.block_m = 8
+    dev = g.device_graph()
+    assert dev.nbr_blocks is not None and dev.nbr_blocks.shape[1] == 8
+    keys, _ = g.batch_search(q, k, ef=80)
+    assert _recall(keys, gt, k) >= 0.6  # capacity mode: narrower hops
