@@ -1,0 +1,11 @@
+#!/bin/bash
+# TPU batch 11: 2M-vector single-chip device build (ROADMAP item 4).
+# The block_m HBM guard auto-narrows construction blocks to 16; donated
+# layer updates remove the ~3 GB per-update transient that capped r2
+# builds at 1M.
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH}
+export HNSW_TPU_BUILD_PROGRESS=1
+timeout 10800 python benchmarks/exp/scale_build.py 2000000 16384 random quant graph
+echo "BATCH11 DONE rc=$?"
