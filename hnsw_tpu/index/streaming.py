@@ -38,17 +38,34 @@ class StreamingExactIndex:
 
     def __init__(self, directory: str, dim: Optional[int] = None,
                  metric: str = "cosine", chunk_rows: int = 131072,
-                 fast_math: bool = False):
+                 fast_math: bool = False,
+                 hbm_cache_bytes: int = 4 << 30):
         self.metric = canonical_metric(metric)
         self.slots = SlotMap()
         self.store = MmapVectorStore(directory, dim=dim)
         self.chunk_rows = int(chunk_rows)
         self.fast_math = fast_math
+        #: HBM chunk cache: chunks that fit the budget stay device-
+        #: resident across batches, so a warm working set serves at
+        #: device-scan speed and only the cold tail streams from disk —
+        #: the reference VectorStore's cache role
+        #: (parquet/vector_ops.go:18-63) in TPU-native form. Mutations
+        #: invalidate the owning chunk.
+        self.hbm_cache_bytes = int(hbm_cache_bytes)
+        self._cache: dict = {}          # chunk_id -> (vec, sq, alive)
+        self._cache_bytes = 0
+
+    def _invalidate(self, slots) -> None:
+        for s in np.unique(np.asarray(slots, np.int64) // self.chunk_rows):
+            ent = self._cache.pop(int(s), None)
+            if ent is not None:
+                self._cache_bytes -= ent[3]
 
     # -- mutation ------------------------------------------------------------
     def add(self, key: Hashable, vector) -> None:
         slot, _ = self.slots.assign(key)
         self.store.put(slot, np.asarray(vector, np.float32))
+        self._invalidate([slot])
 
     def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
         vectors = np.asarray(vectors, np.float32)
@@ -56,12 +73,14 @@ class StreamingExactIndex:
             raise ValueError("keys/vectors length mismatch")
         slot_list = [self.slots.assign(k)[0] for k in keys]
         self.store.put_batch(np.asarray(slot_list, np.int64), vectors)
+        self._invalidate(slot_list)
 
     def delete(self, key: Hashable) -> bool:
         slot = self.slots.release(key)
         if slot is None:
             return False
         self.store.kill(slot)
+        self._invalidate([slot])
         return True
 
     def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
@@ -74,6 +93,8 @@ class StreamingExactIndex:
         self.store.flush()
 
     def close(self) -> None:
+        self._cache.clear()
+        self._cache_bytes = 0
         self.store.close()
 
     # -- search ---------------------------------------------------------------
@@ -98,15 +119,28 @@ class StreamingExactIndex:
         for c0 in range(0, n, step):
             c1 = min(c0 + step, n)
             rows = c1 - c0
-            pad = (-rows) % 8
-            vec = np.zeros((rows + pad, self.store.dim), np.float32)
-            vec[:rows] = self.store.vectors[c0:c1]      # disk -> RAM page-in
-            sq = np.zeros((rows + pad,), np.float32)
-            sq[:rows] = self.store.sq_norms[c0:c1]
-            alive = np.zeros((rows + pad,), bool)
-            alive[:rows] = self.store.alive[c0:c1]
-            d, i = exact_topk(qd, jnp.asarray(vec), jnp.asarray(sq),
-                              jnp.asarray(alive), k=min(k, rows),
+            cached = self._cache.get(c0 // step)
+            if cached is not None and cached[0].shape[0] >= rows:
+                vd, sd, ad = cached[0], cached[1], cached[2]
+            else:
+                pad = (-rows) % 8
+                vec = np.zeros((rows + pad, self.store.dim), np.float32)
+                vec[:rows] = self.store.vectors[c0:c1]  # disk -> page-in
+                sq = np.zeros((rows + pad,), np.float32)
+                sq[:rows] = self.store.sq_norms[c0:c1]
+                alive = np.zeros((rows + pad,), bool)
+                alive[:rows] = self.store.alive[c0:c1]
+                vd, sd, ad = (jnp.asarray(vec), jnp.asarray(sq),
+                              jnp.asarray(alive))
+                # pin full chunks while the budget lasts (the last,
+                # partial chunk regrows — don't pin a short version)
+                nbytes = vec.nbytes + sq.nbytes + alive.nbytes
+                if (rows == step
+                        and self._cache_bytes + nbytes
+                        <= self.hbm_cache_bytes):
+                    self._cache[c0 // step] = (vd, sd, ad, nbytes)
+                    self._cache_bytes += nbytes
+            d, i = exact_topk(qd, vd, sd, ad, k=min(k, rows),
                               metric=self.metric, fast_math=self.fast_math)
             if d.shape[1] < k:
                 d = jnp.pad(d, ((0, 0), (0, k - d.shape[1])),

@@ -130,3 +130,39 @@ def test_hbm_quantized_mode_over_mmap_store(tmp_path):
     g.delete(keys_q[0][0])
     keys_after, _ = g.batch_search(q[:1], k)
     assert keys_q[0][0] not in keys_after[0]
+
+def test_streaming_exact_hbm_chunk_cache(tmp_path):
+    """HBM chunk cache: full chunks pin on device within the budget,
+    repeat searches reuse them, and mutations invalidate the owning
+    chunk (correctness oracle: results stay exact after an update)."""
+    n, d, k = 2000, 16, 5
+    v = make_vectors(n, d, seed=124)
+    q = make_vectors(16, d, seed=125)
+    idx = StreamingExactIndex(str(tmp_path / "sx"), metric="cosine",
+                              chunk_rows=512,
+                              hbm_cache_bytes=10 << 20)
+    idx.batch_add(list(range(n)), v)
+    keys, _ = idx.batch_search(q, k)
+    assert len(idx._cache) == 3          # 3 full chunks; tail not pinned
+    keys2, _ = idx.batch_search(q, k)    # served from the cache
+    assert keys2 == keys
+    _, gt_i = np_exact_topk(q, v, k, "cosine")
+    for i in range(len(q)):
+        assert keys[i] == [int(x) for x in gt_i[i]]
+
+    # mutate a vector inside a cached chunk: cache entry drops and the
+    # next search reflects the new value
+    target = int(gt_i[0][0])
+    idx.batch_add([target], -v[target][None])   # push it far away
+    assert len(idx._cache) == 2
+    keys3, _ = idx.batch_search(q, k)
+    assert keys3[0][0] != target
+
+    # zero budget -> nothing pins, results identical
+    idx0 = StreamingExactIndex(str(tmp_path / "sx0"), metric="cosine",
+                               chunk_rows=512, hbm_cache_bytes=0)
+    idx0.batch_add(list(range(n)), v)
+    k0, _ = idx0.batch_search(q, k)
+    assert not idx0._cache
+    for i in range(len(q)):
+        assert k0[i] == [int(x) for x in gt_i[i]]
