@@ -68,9 +68,7 @@ class Graph:
         self._hbm_mode = "full"
         self._entry_mode = "descent"
         self._block_layout = False
-        #: narrow the serving neighbor blocks to the first block_m
-        #: edges per row (HBM capacity knob; None = full rows)
-        self.block_m: Optional[int] = None
+        self._block_m: Optional[int] = None
         self._pivot_cache = None
         #: seeds per query when entry_mode == "pivots"
         self.seed_width = 16
@@ -99,6 +97,20 @@ class Graph:
                 "block_layout unsupported for custom metrics")
         if bool(on) != self._block_layout:
             self._block_layout = bool(on)
+            self._dirty = True
+
+    @property
+    def block_m(self) -> Optional[int]:
+        """Narrow the serving neighbor blocks to the first block_m
+        edges per row (HBM capacity knob; None = full rows). Changing
+        it rebuilds the device graph on next use."""
+        return self._block_m
+
+    @block_m.setter
+    def block_m(self, m: Optional[int]) -> None:
+        m = None if m is None else int(m)
+        if m != self._block_m:
+            self._block_m = m
             self._dirty = True
 
     @property

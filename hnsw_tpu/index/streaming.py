@@ -33,24 +33,27 @@ class StreamingExactIndex:
     API mirrors ExactIndex (hybrid/exact.go via hybrid.go:15-60);
     storage capacity is the disk, not HBM or RAM. ``chunk_rows`` bounds
     device residency: peak HBM use is one [chunk_rows, D] block plus the
-    [Q, k] running winners.
+    [Q, k] running winners — unless ``hbm_cache_bytes`` > 0 opts into
+    pinning hot chunks (up to that budget) on device.
     """
 
     def __init__(self, directory: str, dim: Optional[int] = None,
                  metric: str = "cosine", chunk_rows: int = 131072,
                  fast_math: bool = False,
-                 hbm_cache_bytes: int = 4 << 30):
+                 hbm_cache_bytes: int = 0):
         self.metric = canonical_metric(metric)
         self.slots = SlotMap()
         self.store = MmapVectorStore(directory, dim=dim)
         self.chunk_rows = int(chunk_rows)
         self.fast_math = fast_math
-        #: HBM chunk cache: chunks that fit the budget stay device-
-        #: resident across batches, so a warm working set serves at
-        #: device-scan speed and only the cold tail streams from disk —
-        #: the reference VectorStore's cache role
+        #: HBM chunk cache (opt-in, 0 = off): chunks that fit the budget
+        #: stay device-resident across batches, so a warm working set
+        #: serves at device-scan speed and only the cold tail streams
+        #: from disk — the reference VectorStore's cache role
         #: (parquet/vector_ops.go:18-63) in TPU-native form. Mutations
-        #: invalidate the owning chunk.
+        #: through THIS instance invalidate the owning chunk; do not
+        #: enable it when another process/index mutates the same mmap
+        #: directory (pinned chunks would go stale).
         self.hbm_cache_bytes = int(hbm_cache_bytes)
         self._cache: dict = {}          # chunk_id -> (vec, sq, alive)
         self._cache_bytes = 0

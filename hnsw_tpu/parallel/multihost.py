@@ -82,18 +82,19 @@ class MultiHostIndex:
             max_workers=transport.num_slices(),
             thread_name_prefix="mh-slice")
 
-    def _fan_out(self, calls: Sequence[Tuple[int, str, tuple]],
-                 tolerate_failures: bool) -> List[Any]:
+    def _fan_out(self, calls: Sequence[Tuple[int, str, tuple, dict]],
+                 max_failures: int) -> List[Any]:
         """Run slice calls concurrently. Returns a result per call;
-        failed calls yield None when ``tolerate_failures`` (reads with
-        replicas — the surviving replicas still cover every key),
-        otherwise the first failure re-raises."""
-        futs = [self._pool.submit(self.transport.call, s, m, *a)
-                for s, m, a in calls]
+        a failed call yields None. The first failure re-raises once
+        more than ``max_failures`` calls fail — 0 for writes (a dropped
+        write is silent data loss), replicas-1 for reads (fewer dead
+        slices than replicas cannot uncover any key)."""
+        futs = [self._pool.submit(self.transport.call, s, m, *a, **kw)
+                for s, m, a, kw in calls]
         results: List[Any] = []
         n_failed = 0
         first_err: Optional[BaseException] = None
-        for (s, m, _), f in zip(calls, futs):
+        for (s, m, _, _), f in zip(calls, futs):
             try:
                 results.append(f.result())
             except Exception as e:
@@ -103,10 +104,8 @@ class MultiHostIndex:
                     first_err = e
                 warnings.warn(f"slice {s} {m} failed: {e}",
                               RuntimeWarning, stacklevel=3)
-        if first_err is not None and not tolerate_failures:
+        if n_failed > max_failures:
             raise first_err
-        if calls and n_failed == len(calls):
-            raise first_err  # every slice down: nothing to serve
         return results
 
     @property
@@ -125,9 +124,9 @@ class MultiHostIndex:
             for s in self._owners(k):
                 groups.setdefault(s, []).append(i)
         self._fan_out(
-            [(s, "batch_add", ([keys[i] for i in idxs], vectors[idxs]))
-             for s, idxs in groups.items()],
-            tolerate_failures=False)  # writes must not silently drop
+            [(s, "batch_add", ([keys[i] for i in idxs], vectors[idxs]),
+              {}) for s, idxs in groups.items()],
+            max_failures=0)  # writes must not silently drop
 
     def add(self, key: Hashable, vector) -> None:
         self.batch_add([key], np.asarray(vector, np.float32)[None])
@@ -140,9 +139,9 @@ class MultiHostIndex:
         ok = [False] * len(keys)
         items = list(groups.items())
         res_per = self._fan_out(
-            [(s, "batch_delete", ([keys[i] for i in idxs],))
+            [(s, "batch_delete", ([keys[i] for i in idxs],), {})
              for s, idxs in items],
-            tolerate_failures=False)
+            max_failures=0)
         for (s, idxs), res in zip(items, res_per):
             for i, r in zip(idxs, res):
                 ok[i] = ok[i] or bool(r)
@@ -168,26 +167,15 @@ class MultiHostIndex:
         """
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         Q = queries.shape[0]
-        # Concurrent fan-out; with replicas > 1 a down slice is
-        # tolerated (its keys are still served by the surviving
-        # replicas — the docstring's read-failover promise). With
-        # replicas == 1 a slice failure loses real keys, so it raises.
-        futs = [self._pool.submit(self.transport.call, s, "batch_search",
-                                  queries, k, **kw)
-                for s in range(self.n)]
-        per_slice = []
-        first_err: Optional[BaseException] = None
-        for s, f in enumerate(futs):
-            try:
-                per_slice.append(f.result())
-            except Exception as e:
-                if first_err is None:
-                    first_err = e
-                warnings.warn(f"slice {s} batch_search failed: {e}",
-                              RuntimeWarning, stacklevel=2)
-        if first_err is not None and (self.replicas == 1
-                                      or not per_slice):
-            raise first_err
+        # Concurrent fan-out. Up to replicas-1 dead slices are
+        # tolerated (every key still has a surviving replica — the
+        # read-failover promise); at replicas dead slices some key
+        # pair of owners may ALL be down, so it raises rather than
+        # silently dropping keys.
+        per_slice = [r for r in self._fan_out(
+            [(s, "batch_search", (queries, k), kw)
+             for s in range(self.n)],
+            max_failures=self.replicas - 1) if r is not None]
         out_keys: List[List[Any]] = []
         out_d = np.full((Q, k), INF_DIST, np.float32)
         for qi in range(Q):
@@ -219,7 +207,7 @@ class MultiHostIndex:
                               for s in range(self.n)]}
 
     def close(self) -> None:
+        """Release the fan-out worker pool. The transport stays open —
+        its creator owns its lifecycle (it may be shared across
+        MultiHostIndex instances)."""
         self._pool.shutdown(wait=False)
-        closer = getattr(self.transport, "close", None)
-        if closer is not None:
-            closer()

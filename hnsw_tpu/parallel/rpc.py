@@ -270,7 +270,7 @@ class SocketTransport(Transport):
                 if sock is None:
                     raise ConnectionError
                 return self._roundtrip(sock, method, args, kw)
-            except (ConnectionError, OSError, socket.timeout):
+            except OSError:   # incl. ConnectionError/timeout subclasses
                 # stale/broken connection: reconnect and replay once.
                 # Only safe because every wire method is idempotent-ish
                 # at the index level (adds overwrite, deletes return
@@ -280,7 +280,7 @@ class SocketTransport(Transport):
                 self._socks[slice_id] = sock
                 try:
                     return self._roundtrip(sock, method, args, kw)
-                except (ConnectionError, OSError, socket.timeout):
+                except OSError:
                     self._drop(slice_id)
                     raise
 

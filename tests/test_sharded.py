@@ -275,3 +275,46 @@ def test_multihost_tcp_dead_slice_failover_and_reconnect():
                 s.shutdown()
             except Exception:
                 pass
+
+def test_multihost_raises_when_failures_reach_replica_count():
+    """Read fan-out tolerates up to replicas-1 dead slices; at replicas
+    dead slices some key's whole owner set may be gone, so batch_search
+    raises instead of silently returning partial results."""
+    import warnings
+
+    import numpy as np
+    import pytest
+    from hnsw_tpu.index.exact import ExactIndex
+    from hnsw_tpu.parallel.multihost import (LocalTransport,
+                                             MultiHostIndex)
+    from tests.conftest import make_vectors
+
+    n, d = 120, 8
+    v = make_vectors(n, d, seed=140)
+
+    class FlakyTransport(LocalTransport):
+        def __init__(self, indexes):
+            super().__init__(indexes)
+            self.dead = set()
+
+        def call(self, slice_id, method, *args, **kw):
+            if slice_id in self.dead:
+                raise ConnectionError(f"slice {slice_id} down")
+            return super().call(slice_id, method, *args, **kw)
+
+    slices = [ExactIndex(metric="cosine") for _ in range(4)]
+    tr = FlakyTransport(slices)
+    mh = MultiHostIndex(tr, replicas=2)
+    mh.batch_add(list(range(n)), v)
+
+    tr.dead = {1}          # one dead < replicas: still serves
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        keys, _ = mh.batch_search(v[:8], 1)
+    assert [r[0] for r in keys] == list(range(8))
+
+    tr.dead = {1, 2}       # dead slices == replicas: must raise
+    with pytest.raises(ConnectionError):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            mh.batch_search(v[:8], 1)
