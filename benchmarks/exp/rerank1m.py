@@ -6,6 +6,8 @@ selection + the stacked final select + the f32 winner-row gather rerank.
 Ablates the candidates for closing it:
 
   asis            exact_topk(fast_math=True) as shipped (kk=k+16, f32 rerank)
+  int8scan        int8 MXU scan (quantized table + queries, int32 gram,
+                  ~2x bf16 peak on v5e) + approx select + f32 rerank
   norerank        bf16 distances all the way: exact top_k over the stacked
                   winners, no rerank gather (recall may dip at the boundary)
   rerank_final    select k (not kk) from the stack, rerank only those k rows
@@ -110,6 +112,55 @@ def main():
             dk = dk2
         return dk[:, :k], ik[:, :k]
 
+    # int8 table (per-vector scale) built once, outside the timed fn
+    vs8_scale = np.max(np.abs(data), axis=1) / 127.0
+    v8_host = np.clip(np.rint(data / np.maximum(vs8_scale, 1e-30)[:, None]),
+                      -127, 127).astype(np.int8)
+    v8 = jnp.asarray(v8_host)
+    vs8 = jnp.asarray(vs8_scale.astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("kk", "chunk"))
+    def int8scan(q, v8, vs8, v, s, kk: int, chunk: int):
+        """int8 x int8 -> int32 gram chunked scan; f32 rerank."""
+        qf = q.astype(jnp.float32)
+        q_sq = jnp.sum(qf * qf, axis=-1)
+        qscale = jnp.max(jnp.abs(qf), axis=1) / 127.0
+        q8 = jnp.clip(jnp.round(qf / jnp.maximum(qscale, 1e-30)[:, None]),
+                      -127, 127).astype(jnp.int8)
+        npad = ((n + chunk - 1) // chunk) * chunk
+        v8p = jnp.pad(v8, ((0, npad - n), (0, 0)))
+        vs8p = jnp.pad(vs8, (0, npad - n))
+        sp = jnp.pad(s, (0, npad - n))
+        vc = v8p.reshape(npad // chunk, chunk, d)
+        sc8 = vs8p.reshape(npad // chunk, chunk)
+        sqc = sp.reshape(npad // chunk, chunk)
+        mask = (jnp.arange(npad) < n).reshape(npad // chunk, chunk)
+        bases = jnp.arange(npad // chunk, dtype=jnp.int32) * chunk
+
+        def body(_, xs):
+            vec8, vsc, vsq, vld, base = xs
+            gram = jax.lax.dot_general(
+                q8, vec8, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            qv = gram.astype(jnp.float32) * (qscale[:, None] * vsc[None, :])
+            dist = jnp.where(vld[None, :],
+                             _epilogue("cosine", qv, q_sq, vsq), INF_DIST)
+            dk, ik = jax.lax.approx_min_k(dist, kk, recall_target=0.99)
+            return 0, (dk, ik + base)
+
+        _, (dks, iks) = jax.lax.scan(body, 0, (vc, sc8, sqc, mask, bases))
+        d_all = jnp.moveaxis(dks, 0, 1).reshape(q.shape[0], -1)
+        i_all = jnp.moveaxis(iks, 0, 1).reshape(q.shape[0], -1)
+        dk, pos = jax.lax.approx_min_k(d_all, kk, recall_target=0.99)
+        ik = jnp.take_along_axis(i_all, pos, axis=1)
+        safe = jnp.clip(ik, 0, n - 1)
+        dd = gathered_dist(qf, v[safe].astype(jnp.float32), s[safe], q_sq,
+                           metric="cosine",
+                           precision=jax.lax.Precision.HIGHEST)
+        dd = jnp.where(ik >= 0, dd, INF_DIST)
+        dk, pos2 = topk_smallest(dd, min(k, dd.shape[1]))
+        return dk, jnp.take_along_axis(ik, pos2, axis=1)
+
     def bench(tag, fn, queries, gt):
         out = fn()
         jax.block_until_ready(out)
@@ -143,6 +194,8 @@ def main():
                                    final="kk", rerank="f32"), q, gt_i)
     bench("chunk64k", lambda: fast(q, v, s, kk=k + 16, chunk=65536,
                                    final="kk", rerank="f32"), q, gt_i)
+    bench("int8scan", lambda: int8scan(q, v8, vs8, v, s, kk=k + 16,
+                                       chunk=CH), q, gt_i)
     if not os.environ.get("RERANK1M_SMALL"):
         q2 = jnp.asarray(q_host)
         gt2_d, gt2_i = exact_topk(q2, v, s, alive, k=k, metric="cosine")
