@@ -255,20 +255,31 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
         nb_safe = jnp.clip(jnp.where(nb_ok, nbrs, 0), 0, cap - 1)
 
         if use_blocks:
-            # ONE [M, D] int8 block per expanded node instead of E*M row
+            # ONE [M, D] block per expanded node instead of E*M row
             # gathers (row-granularity-bound; see DeviceGraph.nbr_blocks)
-            blk = g.nbr_blocks[cur_safe]              # [B, E, M, D] int8
-            qv = jnp.einsum("bd,bemd->bem",
-                            queries.astype(jnp.bfloat16),
-                            blk.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-            qv = qv.reshape(B, E * M) * g.block_scale
-            if metric == "dot":
-                d = -qv
-            else:
+            blk = g.nbr_blocks[cur_safe]              # [B, E, M, D]
+            if g.nbr_blocks.dtype == jnp.int8:
+                qv = jnp.einsum("bd,bemd->bem",
+                                queries.astype(jnp.bfloat16),
+                                blk.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+                qv = qv.reshape(B, E * M) * g.block_scale
                 bsq = jnp.sum(jnp.square(blk.astype(jnp.bfloat16)),
                               axis=-1).astype(jnp.float32)
                 vsq = bsq.reshape(B, E * M) * jnp.square(g.block_scale)
+            else:
+                # fp16 blocks (tight-cluster data: int8/bf16 noise
+                # drowns within-cluster separations) — score in f32 at
+                # HIGHEST; the hop is gather-bound, the einsum is tiny.
+                blkf = blk.astype(jnp.float32)
+                qv = jnp.einsum("bd,bemd->bem", queries, blkf,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32
+                                ).reshape(B, E * M)
+                vsq = jnp.sum(blkf * blkf, axis=-1).reshape(B, E * M)
+            if metric == "dot":
+                d = -qv
+            else:
                 if metric == "cosine":
                     d = 1.0 - qv * jax.lax.rsqrt(
                         q_sq[:, None] * vsq + 1e-30)

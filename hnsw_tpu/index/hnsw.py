@@ -69,6 +69,8 @@ class Graph:
         self._entry_mode = "descent"
         self._block_layout = False
         self._block_m: Optional[int] = None
+        self._block_dtype = "auto"
+        self._block_fit_cache = None      # (resolved_dtype, n_at_check)
         self._pivot_cache = None
         #: seeds per query when entry_mode == "pivots"
         self.seed_width = 16
@@ -112,6 +114,40 @@ class Graph:
         if m != self._block_m:
             self._block_m = m
             self._dirty = True
+
+    @property
+    def block_dtype(self) -> str:
+        """Neighbor-block element type: "int8" (1 byte, global scale —
+        fast default for spread-out data), "float16" (2 bytes — needed
+        on tightly clustered data, where within-cluster separations
+        drown in int8 noise: measured 0.33 vs 0.99 recall at 1M
+        clustered), or "auto" (sample-check which fits; default)."""
+        return self._block_dtype
+
+    @block_dtype.setter
+    def block_dtype(self, dt: str) -> None:
+        if dt not in ("auto", "int8", "float16"):
+            raise ValueError(f"bad block_dtype {dt!r}")
+        if dt != self._block_dtype:
+            self._block_dtype = dt
+            self._block_fit_cache = None
+            self._dirty = True
+
+    def _resolve_block_dtype(self, n: int) -> str:
+        """Resolve "auto" once per data regime (re-checked when the
+        index doubles/halves): the fit check costs ~1 s at scale and
+        the distribution rarely changes between incremental syncs."""
+        if self._block_dtype != "auto" or not self._block_layout:
+            return self._block_dtype
+        c = self._block_fit_cache
+        if c is not None and c[1] <= 2 * n and n <= 2 * c[1]:
+            return c[0]
+        from hnsw_tpu.core.state import _int8_block_fit
+        used = self.slots.capacity_used
+        fit = _int8_block_fit(self.store.vectors[:used]) if used else 1.0
+        dt = "int8" if fit >= 0.9 else "float16"
+        self._block_fit_cache = (dt, max(n, 1))
+        return dt
 
     @property
     def entry_mode(self) -> str:
@@ -356,7 +392,8 @@ class Graph:
                 quantize=self._hbm_mode == "quantized",
                 hbm_vectors=self._hbm_mode != "quantized",
                 block_layout=self._block_layout,
-                block_m=self.block_m)
+                block_m=self.block_m,
+                block_dtype=self._resolve_block_dtype(n))
             self._dirty = False
         return self._dev
 
