@@ -280,6 +280,15 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     metric = canonical_metric(host.metric)
     intra_k = intra_k if intra_k is not None else cfg.m_base
     store = host.store
+    # the intra-wave kNN is a dense [W, W] f32 matrix (+ a same-size
+    # gather in _assemble_wave_rows): 4.3 GB each at W=32768 — OOMed
+    # the 1M wave-32768 experiment (batch9). 16384 (1 GB) is the
+    # measured-safe ceiling on a 16 GB chip.
+    if wave > 16384:
+        import warnings
+        warnings.warn(f"wave={wave} clamped to 16384 (intra-wave kNN "
+                      f"is O(W^2) HBM)", RuntimeWarning)
+        wave = 16384
 
     slots = np.asarray(slots, np.int64)
     n_new = len(slots)
