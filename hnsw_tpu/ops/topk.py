@@ -78,17 +78,22 @@ def exact_topk(queries: jnp.ndarray, vectors: jnp.ndarray,
             d = pairwise_dist(q, vec, v_sq=sq, q_sq=q_sq, metric=metric)
         return jnp.where(vld[None, :], d, INF_DIST)
 
-    def select(d, kk):
+    def select(d, kk, rt=0.95):
         if fast_math:
-            # 0.99 per-call: the 0.95 default left single-chunk (small
-            # N) fast recall at ~.987; chunked scans have extra margin
-            # because true winners are top-kk of their own chunk.
-            return jax.lax.approx_min_k(d, kk, recall_target=0.99)
+            # recall_target is a big cost lever: 0.99 at the per-chunk
+            # sites measured 16x SLOWER at 1M than 0.95 (130.8k -> 8.1k
+            # qps, rerank1m batch10 rows) — the binned reduction's
+            # intermediate size explodes. Chunked scans keep 0.95: the
+            # margin (kk > k), per-chunk winner stacking, and the f32
+            # rerank give measured recall .9997 at 1M. Only the
+            # SINGLE-chunk path needs 0.99 (no chunk margin; 0.95 left
+            # small-N fast recall at ~.987).
+            return jax.lax.approx_min_k(d, kk, recall_target=rt)
         return topk_smallest(d, kk)
 
     if n <= chunk:
         d = score(vectors, v_sq, valid)
-        dk, ik = select(d, min(k_scan, n))
+        dk, ik = select(d, min(k_scan, n), rt=0.99)
     else:
         # Chunked scan with running top-k merge.
         n_pad = ((n + chunk - 1) // chunk) * chunk
