@@ -147,7 +147,7 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
                       q_sq: jnp.ndarray, start_ids: jnp.ndarray,
                       start_d: jnp.ndarray, pool_size: int, max_hops: int,
                       metric: str, precision, expand: int = 1,
-                      merge: str = "sort"
+                      merge: str = "sort", store_normalized: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam search one layer for a batch of queries.
 
@@ -264,9 +264,16 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
                                 blk.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32)
                 qv = qv.reshape(B, E * M) * g.block_scale
-                bsq = jnp.sum(jnp.square(blk.astype(jnp.bfloat16)),
-                              axis=-1).astype(jnp.float32)
-                vsq = bsq.reshape(B, E * M) * jnp.square(g.block_scale)
+                if store_normalized and metric == "cosine":
+                    # pre-normalized store: ||v|| == 1 by construction,
+                    # so skip the per-hop [B, E, M, D] square+reduce
+                    # (the quantized-norm deviation is second-order)
+                    vsq = jnp.ones((B, E * M), jnp.float32)
+                else:
+                    bsq = jnp.sum(jnp.square(blk.astype(jnp.bfloat16)),
+                                  axis=-1).astype(jnp.float32)
+                    vsq = bsq.reshape(B, E * M) * jnp.square(
+                        g.block_scale)
             else:
                 # fp16 blocks (tight-cluster data: int8/bf16 noise
                 # drowns within-cluster separations) — score in f32 at
@@ -276,7 +283,10 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
                                 precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32
                                 ).reshape(B, E * M)
-                vsq = jnp.sum(blkf * blkf, axis=-1).reshape(B, E * M)
+                if store_normalized and metric == "cosine":
+                    vsq = jnp.ones((B, E * M), jnp.float32)
+                else:
+                    vsq = jnp.sum(blkf * blkf, axis=-1).reshape(B, E * M)
             if metric == "dot":
                 d = -qv
             else:
@@ -346,13 +356,14 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "metric", "max_hops", "fast_math",
-                     "expand", "ef_upper", "device_rerank", "merge"))
+                     "expand", "ef_upper", "device_rerank", "merge",
+                     "store_normalized"))
 def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                  metric: str = "cosine", max_hops: int = 128,
                  fast_math: bool = False, expand: int = 1,
                  ef_upper: int = 0, device_rerank: bool = True,
                  seed_ids: jnp.ndarray | None = None,
-                 merge: str = "sort"
+                 merge: str = "sort", store_normalized: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full hierarchical search for a batch of queries.
 
@@ -412,7 +423,8 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                                        max_hops=max_hops,
                                        metric=metric, precision=precision,
                                        expand=min(expand, P_up),
-                                       merge=merge)
+                                       merge=merge,
+                                       store_normalized=store_normalized)
             best_i, best_d = pi[:, 0], pd[:, 0]
             keep = best_i >= 0
             entry_ids = jnp.where(keep, best_i, entry_ids)
@@ -421,7 +433,8 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
     pd, pi = beam_search_layer(g, 0, queries, q_sq, entry_ids, entry_d,
                                pool_size=P0, max_hops=max_hops,
                                metric=metric, precision=precision,
-                               expand=expand, merge=merge)
+                               expand=expand, merge=merge,
+                               store_normalized=store_normalized)
     if device_rerank and (fast_math or g.qvec is not None):
         # f32 rerank of the head of the pool: traversal ordering ran in
         # bf16 (and/or against the int8 store); reported distances (and

@@ -439,12 +439,14 @@ class Graph:
                                 metric=self.metric, max_hops=hops,
                                 expand=expand, fast_math=self.fast_math,
                                 device_rerank=False, seed_ids=seed_ids,
-                                merge=self.merge_strategy)
+                                merge=self.merge_strategy,
+                                store_normalized=self.metric == "cosine")
             return self._host_rerank(queries[:nq], np.asarray(i[:nq]), k)
         d, i = search_graph(g, jnp.asarray(queries), k=k, ef=ef,
                             metric=self.metric, max_hops=hops,
                             expand=expand, fast_math=self.fast_math,
-                            seed_ids=seed_ids, merge=self.merge_strategy)
+                            seed_ids=seed_ids, merge=self.merge_strategy,
+                            store_normalized=self.metric == "cosine")
         return np.asarray(d[:nq]), np.asarray(i[:nq], np.int64)
 
     def _host_rerank(self, queries: np.ndarray, cand: np.ndarray, k: int
