@@ -10,5 +10,6 @@ export HNSW_TPU_BUILD_PROGRESS=1
 # validate the approx_min_k recall_target fix (fast exact should be
 # back to ~130k qps @ recall >= .999 at 1M)
 timeout 1800 python benchmarks/exp/select1m.py
+timeout 1200 python benchmarks/exp/hop_micro5.py
 timeout 10800 python benchmarks/exp/scale_build.py 2000000 16384 random quant graph
 echo "BATCH11 DONE rc=$?"
