@@ -88,14 +88,14 @@ def main():
                 preferred_element_type=jnp.float32)
             dist = jnp.where(vld[None, :],
                              _epilogue("cosine", gram, q_sq, vsq), INF_DIST)
-            dk, ik = jax.lax.approx_min_k(dist, kk, recall_target=0.99)
+            dk, ik = jax.lax.approx_min_k(dist, kk, recall_target=0.95)
             return 0, (dk, ik + base)
 
         _, (dks, iks) = jax.lax.scan(body, 0, (vc, sc, mask, bases))
         d_all = jnp.moveaxis(dks, 0, 1).reshape(q.shape[0], -1)
         i_all = jnp.moveaxis(iks, 0, 1).reshape(q.shape[0], -1)
         n_sel = k if final == "k" else kk
-        dk, pos = jax.lax.approx_min_k(d_all, n_sel, recall_target=0.99)
+        dk, pos = jax.lax.approx_min_k(d_all, n_sel, recall_target=0.95)
         ik = jnp.take_along_axis(i_all, pos, axis=1)
         if rerank == "f32":
             safe = jnp.clip(ik, 0, n - 1)
@@ -145,13 +145,13 @@ def main():
             qv = gram.astype(jnp.float32) * (qscale[:, None] * vsc[None, :])
             dist = jnp.where(vld[None, :],
                              _epilogue("cosine", qv, q_sq, vsq), INF_DIST)
-            dk, ik = jax.lax.approx_min_k(dist, kk, recall_target=0.99)
+            dk, ik = jax.lax.approx_min_k(dist, kk, recall_target=0.95)
             return 0, (dk, ik + base)
 
         _, (dks, iks) = jax.lax.scan(body, 0, (vc, sc8, sqc, mask, bases))
         d_all = jnp.moveaxis(dks, 0, 1).reshape(q.shape[0], -1)
         i_all = jnp.moveaxis(iks, 0, 1).reshape(q.shape[0], -1)
-        dk, pos = jax.lax.approx_min_k(d_all, kk, recall_target=0.99)
+        dk, pos = jax.lax.approx_min_k(d_all, kk, recall_target=0.95)
         ik = jnp.take_along_axis(i_all, pos, axis=1)
         safe = jnp.clip(ik, 0, n - 1)
         dd = gathered_dist(qf, v[safe].astype(jnp.float32), s[safe], q_sq,

@@ -11,5 +11,7 @@ export HNSW_TPU_BUILD_PROGRESS=1
 # back to ~130k qps @ recall >= .999 at 1M)
 timeout 1800 python benchmarks/exp/select1m.py
 timeout 1200 python benchmarks/exp/hop_micro5.py
+# re-run the final-stage ablation at the fixed 0.95 target
+timeout 3600 python benchmarks/exp/rerank1m.py
 timeout 10800 python benchmarks/exp/scale_build.py 2000000 16384 random quant graph
 echo "BATCH11 DONE rc=$?"
