@@ -13,5 +13,8 @@ timeout 1800 python benchmarks/exp/select1m.py
 timeout 1200 python benchmarks/exp/hop_micro5.py
 # re-run the final-stage ablation at the fixed 0.95 target
 timeout 3600 python benchmarks/exp/rerank1m.py
+# validate the full-density fit check: clustered blockpiv should now
+# auto-select fp16 blocks and recover ~base recall at higher qps
+timeout 3600 python benchmarks/exp/serve1m.py clustered 1000000
 timeout 10800 python benchmarks/exp/scale_build.py 2000000 16384 random quant graph
 echo "BATCH11 DONE rc=$?"
