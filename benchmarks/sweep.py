@@ -249,6 +249,109 @@ def main():
           "value": round(time.perf_counter() - t0, 3),
           "platform": platform})
 
+    # ---- config 6: disk-tier op timings (ParquetGraph/ArrowGraph
+    # baseline rows: add 5.24 ms, search 128 us, delete 2.37 ms,
+    # arrow save 11.4 ms / load 2.0 ms, appender 410 us/rec) ----------
+    import shutil
+    import tempfile
+
+    from hnsw_tpu.config import StoreConfig
+    from hnsw_tpu.io.appender import ArrowAppender
+    from hnsw_tpu.io.disk_graph import DiskGraph
+    nd = min(n, 2000)
+    for fmt in ("parquet", "arrow"):
+        td = tempfile.mkdtemp(prefix=f"sweep_{fmt}_")
+        try:
+            dg = DiskGraph(td, store_config=StoreConfig(
+                directory=td, format=fmt,
+                wal_flush_interval_seconds=0))
+            t0 = time.perf_counter()
+            dg.batch_add(list(range(nd)), data[:nd])
+            add_s = time.perf_counter() - t0
+            dg.batch_search(queries[:64], k)      # warm
+            t0 = time.perf_counter()
+            dg.batch_search(queries[:256], k)
+            search_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            dg.batch_delete(list(range(64)))
+            del_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            dg.save()
+            save_s = time.perf_counter() - t0
+            dg.close()
+            t0 = time.perf_counter()
+            dg2 = DiskGraph(td, store_config=StoreConfig(
+                directory=td, format=fmt,
+                wal_flush_interval_seconds=0))
+            load_s = time.perf_counter() - t0
+            r = dg2.search(data[nd - 1], 1)
+            assert r and r[0][0] == nd - 1
+            dg2.close()
+            emit({"config": f"disk_{fmt}", "n": nd,
+                  "add_us_per_vec": round(add_s / nd * 1e6, 1),
+                  "search_us_per_q": round(search_s / 256 * 1e6, 1),
+                  "delete_us_per_key": round(del_s / 64 * 1e6, 1),
+                  "save_ms": round(save_s * 1e3, 1),
+                  "load_ms": round(load_s * 1e3, 1),
+                  "platform": platform})
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    # appender streaming ingest (ArrowAppender baseline 410 us/record)
+    try:
+        import pyarrow as pa
+        g6 = Graph(seed=0)
+        app = ArrowAppender(g6)
+        batch = pa.record_batch(
+            {"key": pa.array(list(range(nd)), pa.int64()),
+             "vector": pa.array([data[i].tolist() for i in range(nd)],
+                                pa.list_(pa.float32()))})
+        t0 = time.perf_counter()
+        app.append_record(batch)
+        emit({"config": "appender", "n": nd,
+              "ingest_us_per_rec": round(
+                  (time.perf_counter() - t0) / nd * 1e6, 1),
+              "platform": platform})
+    except ImportError:
+        pass
+
+    # ---- config 7: 10k x 512-d (baseline: adaptive hybrid 1.97 ms/q
+    # @ recall .96) + distance-abstraction overhead (Surface rows) ----
+    if not args.small:
+        d512 = 512
+        data512 = rng.standard_normal((n, d512)).astype(np.float32)
+        q512 = rng.standard_normal((256, d512)).astype(np.float32)
+        _, gt512 = np_exact_topk(q512, data512, k, "cosine")
+        v512 = jnp.asarray(data512)
+        sq512 = jnp.sum(v512 * v512, axis=1)
+        alive512 = jnp.ones((n,), bool)
+        f = lambda: exact_topk(jnp.asarray(q512), v512, sq512, alive512,
+                               k=k, metric="cosine")
+        r = f(); r[0].block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            r = f()
+        r[0].block_until_ready()
+        dt = (time.perf_counter() - t0) / 3
+        emit({"config": "cosine_10kx512", "strategy": "exact",
+              "qps": round(256 / dt, 0),
+              "recall@10": round(recall_of(np.asarray(r[1]), gt512, k), 4),
+              "platform": platform})
+
+    from hnsw_tpu.utils.surface import BasicSurface, VectorDistance
+    vd = VectorDistance(BasicSurface("cosine"))
+    a_host, b_host = data[:1024], data[1024:2048] if n >= 2048 else data[:1024]
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        vd.batch(a_host, b_host)
+    # batch returns the full [A, B] matrix: A*B pairs per call
+    pairs = len(a_host) * len(b_host)
+    per_call = (time.perf_counter() - t0) / (reps * pairs) * 1e9
+    emit({"config": "surface_overhead",
+          "batched_ns_per_pair": round(per_call, 2),
+          "platform": platform})
+
 
 if __name__ == "__main__":
     main()

@@ -78,6 +78,12 @@ class VectorDistance(Generic[T]):
             va = np.stack([np.asarray(cm(x), np.float32) for x in items_a])
             vb = np.stack([np.asarray(cm(x), np.float32) for x in items_b])
             return np_pairwise_dist(va, vb, m)
+        if cm is None and m is not None:
+            # plain vector surface (BasicSurface with a named metric):
+            # items ARE the vectors — one matmul, no per-pair loop
+            va = np.stack([np.asarray(x, np.float32) for x in items_a])
+            vb = np.stack([np.asarray(x, np.float32) for x in items_b])
+            return np_pairwise_dist(va, vb, m)
         out = np.empty((len(items_a), len(items_b)), np.float32)
         for i, a in enumerate(items_a):
             for j, b in enumerate(items_b):
