@@ -114,6 +114,12 @@ class ExactIndex:
         # Pallas fused kernel wins at large N on TPU (measured 1.4x at
         # 100k x 128: the score matrix never reaches HBM); XLA HIGHEST
         # stays the ground-truth path at small N / large k / CPU.
+        # fast_math only pays off once the scan is chunk-bound: at 10k
+        # the bf16+approx+rerank pipeline measured SLOWER than the f32
+        # HIGHEST scan (182k vs 215k qps, BENCH batch9) while at 1M it
+        # is 7.5x faster (127k vs 17k). Below the threshold the f32
+        # scan is both faster and exact, so prefer it.
+        fast = self.fast_math and v.shape[0] >= 65536
         use_fused = (v.shape[0] >= 32768 and k <= 120
                      and self.metric in ("cosine", "l2", "sqeuclidean",
                                          "dot")
@@ -124,11 +130,11 @@ class ExactIndex:
             from hnsw_tpu.ops.pallas_exact import exact_topk_fused
             d, i = exact_topk_fused(jnp.asarray(queries), v, sq, alive,
                                     k=k, metric=self.metric,
-                                    fast_math=self.fast_math)
+                                    fast_math=fast)
         else:
             d, i = exact_topk(jnp.asarray(queries), v, sq, alive,
                               k=k, metric=self.metric,
-                              fast_math=self.fast_math)
+                              fast_math=fast)
         d = np.asarray(d[:nq])
         i = np.asarray(i[:nq], np.int64)
         return d, i
