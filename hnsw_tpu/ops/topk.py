@@ -64,7 +64,16 @@ def exact_topk(queries: jnp.ndarray, vectors: jnp.ndarray,
     n = vectors.shape[0]
     q = queries.astype(jnp.float32)
     q_sq = jnp.sum(q * q, axis=-1)
-    k_scan = min(k + 16, n) if fast_math else k
+    if fast_math:
+        # margin k+4 and chunk 65536, both measured at 1M B=8192
+        # (rerank1m batch11): k+4 171.9k qps @ .99962 vs k+16 130.7k
+        # @ .99967; chunk 65536 167.5k (fewer approx passes). The
+        # per-chunk [Q, chunk] f32 dist block is the memory bound
+        # (2.1 GB at Q=8192 x 65536) — halve the chunk for larger Q.
+        k_scan = min(k + max(4, k // 8), n)
+        chunk = 65536 if q.shape[0] <= 8192 else 32768
+    else:
+        k_scan = k
 
     def score(vec, sq, vld):
         if fast_math:
