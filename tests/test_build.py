@@ -199,3 +199,17 @@ def test_block_m_narrow_blocks_build_and_serve():
     assert dev.nbr_blocks is not None and dev.nbr_blocks.shape[1] == 8
     keys, _ = g.batch_search(q, k, ef=80)
     assert _recall(keys, gt, k) >= 0.6  # capacity mode: narrower hops
+
+def test_device_build_wave_clamped():
+    """batch9 regression: the intra-wave kNN is O(W^2) HBM (4.3 GB at
+    W=32768) — oversized waves are clamped with a warning, and the
+    build still completes correctly."""
+    import warnings
+    n, d = 500, 16
+    v = make_vectors(n, d, seed=80)
+    g = Graph(seed=0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        g.build(list(range(n)), v, method="device", wave=32768)
+    assert any("clamped" in str(x.message) for x in w)
+    assert g.search(v[7], 1)[0][0] == 7
