@@ -201,6 +201,50 @@ class FacetedGraph:
             out.append(kept[:k])
         return out
 
+    def batch_search_exact(self, queries, k: int,
+                           filters: Sequence[FacetFilter] = ()
+                           ) -> List[List[Tuple[Any, float]]]:
+        """Filtered search as ONE masked exact MXU scan — recall 1.0
+        under ANY filter selectivity.
+
+        The reference's over-fetch/post-filter/refill pattern
+        (facets/search.go:15-88, mirrored by ``batch_search``) degrades
+        when the filter is selective: the k nearest MATCHING vectors may
+        all sit outside the expanded candidate set. TPU-native upgrade:
+        resolve the allowed-key set host-side, fold it into the alive
+        mask, and brute-force the survivors — exact filtered k-NN at
+        exact-tier throughput. Requires the full-HBM vector store
+        (hbm_mode="full")."""
+        import jax.numpy as jnp
+
+        from hnsw_tpu.ops.topk import exact_topk
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        allowed = self.store.filter(filters) if filters else None
+        dev = self.graph.device_graph()
+        if dev.vectors.shape[0] <= 1:
+            raise ValueError("batch_search_exact requires "
+                             "hbm_mode='full' (vectors in HBM)")
+        alive = dev.alive
+        if allowed is not None:
+            mask = np.zeros(dev.cap, bool)
+            for key in allowed:
+                s = self.graph.slots.slot_of(key)
+                if s is not None:
+                    mask[s] = True
+            alive = alive & jnp.asarray(mask)
+        fast = (getattr(self.graph, "fast_math", False)
+                and dev.vectors.shape[0] >= 65536)  # see index/exact.py
+        d, i = exact_topk(queries.astype(np.float32), dev.vectors,
+                          dev.sq_norms, alive, k=k,
+                          metric=self.graph.metric, fast_math=fast)
+        d, i = np.asarray(d), np.asarray(i)
+        out = []
+        for qi in range(queries.shape[0]):
+            row = [(self.graph.slots.key_of(int(s)), float(dd))
+                   for dd, s in zip(d[qi], i[qi]) if s >= 0]
+            out.append(row[:k])
+        return out
+
     def facet_aggregations(self, query, k: int,
                            facet_names: Optional[Sequence[str]] = None
                            ) -> Dict[str, Dict[Any, int]]:

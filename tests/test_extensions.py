@@ -225,3 +225,35 @@ def test_stream_export_import():
     g2 = import_graph(buf)
     assert len(g2) == 60
     assert g2.search(v[9], 1)[0][0] == 9
+
+def test_batch_search_exact_filtered_recall_one():
+    """Masked exact scan: recall 1.0 under a SELECTIVE filter where the
+    over-fetch pattern misses (the k nearest matching vectors sit far
+    outside the top-3k unfiltered candidates)."""
+    import numpy as np
+
+    from hnsw_tpu import EqualityFilter, Facet, FacetedGraph, Graph
+    from hnsw_tpu.ops.distance import np_pairwise_dist
+    from tests.conftest import make_vectors
+
+    n, d, k = 500, 16, 5
+    v = make_vectors(n, d, seed=90)
+    g = Graph(seed=0)
+    fg = FacetedGraph(g)
+    # rare bucket: 2% of keys
+    fg.batch_add(list(range(n)), v,
+                 [[Facet("bucket", 1 if i % 50 == 0 else 0)]
+                  for i in range(n)])
+    q = make_vectors(8, d, seed=91)
+    res = fg.batch_search_exact(q, k, [EqualityFilter("bucket", 1)])
+    allowed = np.array([i for i in range(n) if i % 50 == 0])
+    dists = np_pairwise_dist(q, v[allowed], "cosine")
+    for qi in range(8):
+        want = [int(allowed[j]) for j in np.argsort(dists[qi])[:k]]
+        got = [key for key, _ in res[qi]]
+        assert got == want, (qi, got, want)
+    # no filters -> plain exact scan over everything
+    res_all = fg.batch_search_exact(q, 1)
+    d_all = np_pairwise_dist(q, v, "cosine")
+    for qi in range(8):
+        assert res_all[qi][0][0] == int(np.argmin(d_all[qi]))
