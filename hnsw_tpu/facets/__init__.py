@@ -232,8 +232,7 @@ class FacetedGraph:
                 if s is not None:
                     mask[s] = True
             alive = alive & jnp.asarray(mask)
-        fast = (getattr(self.graph, "fast_math", False)
-                and dev.vectors.shape[0] >= 65536)  # see index/exact.py
+        fast = getattr(self.graph, "fast_math", False)
         d, i = exact_topk(queries.astype(np.float32), dev.vectors,
                           dev.sq_norms, alive, k=k,
                           metric=self.graph.metric, fast_math=fast)

@@ -114,12 +114,10 @@ class ExactIndex:
         # Pallas fused kernel wins at large N on TPU (measured 1.4x at
         # 100k x 128: the score matrix never reaches HBM); XLA HIGHEST
         # stays the ground-truth path at small N / large k / CPU.
-        # fast_math only pays off once the scan is chunk-bound: at 10k
-        # the bf16+approx+rerank pipeline measured SLOWER than the f32
-        # HIGHEST scan (182k vs 215k qps, BENCH batch9) while at 1M it
-        # is 7.5x faster (127k vs 17k). Below the threshold the f32
-        # scan is both faster and exact, so prefer it.
-        fast = self.fast_math and v.shape[0] >= 65536
+        # With the k+4 margin the fast path wins at every measured N
+        # (10k: 266k vs 226k f32; 1M: 197k vs 17k — batch12 rows), so
+        # fast_math is honored as-is.
+        fast = self.fast_math
         use_fused = (v.shape[0] >= 32768 and k <= 120
                      and self.metric in ("cosine", "l2", "sqeuclidean",
                                          "dot")
