@@ -76,6 +76,10 @@ def main():
     del vd, sq, alive
 
     efs = (192, 384, 768) if kind == "random" else (96, 192, 384)
+    if n >= 2_000_000:
+        # full blocks at 2M are 8.6 GB on top of vectors+tables (~13 GB
+        # total) — serve the HBM-feasible narrow-block config instead
+        g.block_m = 16
     for cfg in ("base", "blockpiv"):
         g.block_layout = cfg == "blockpiv"
         g.entry_mode = "pivots" if cfg == "blockpiv" else "descent"
