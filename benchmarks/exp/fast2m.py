@@ -1,0 +1,62 @@
+"""Fast exact serving at 2M x 128 (the serving answer for random data
+at this scale — the graph tier needs ef >> 1536 on unstructured data).
+
+Measures exact_topk f32 oracle vs fast_math (bf16 + approx + f32
+rerank, k+4 margin, 64k chunks) at B=8192, k=10.
+Appends rows to benchmarks/results_tpu_r2.jsonl.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "results_tpu_r2.jsonl")
+
+
+def emit(rec):
+    rec["ts"] = time.time()
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    from hnsw_tpu.utils.warmup import warmup_transfers
+    warmup_transfers()
+    import jax
+    import jax.numpy as jnp
+    from hnsw_tpu.ops.topk import exact_topk
+
+    n, d, k, B = 2_000_000, 128, 10, 8192
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    sq = np.sum(data.astype(np.float64) * data, axis=1).astype(np.float32)
+    v = jnp.asarray(data)
+    s = jnp.asarray(sq)
+    alive = jnp.ones((n,), bool)
+    q = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+
+    def bench(tag, fast):
+        f = lambda: exact_topk(q, v, s, alive, k=k, metric="cosine",
+                               fast_math=fast)
+        dd, ii = f()
+        jax.block_until_ready(ii)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            dd, ii = f()
+        jax.block_until_ready(ii)
+        dt = (time.perf_counter() - t0) / 3
+        emit({"op": "fast2m", "variant": tag, "qps": round(B / dt),
+              "ms_batch": round(dt * 1e3, 1)})
+        return np.asarray(ii)
+
+    gt = bench("oracle_f32", False)
+    ii = bench("fast", True)
+    rec = np.mean([len(set(ii[r]) & set(gt[r])) / k for r in range(B)])
+    emit({"op": "fast2m", "variant": "fast_recall",
+          "recall": round(float(rec), 5)})
+
+
+if __name__ == "__main__":
+    main()

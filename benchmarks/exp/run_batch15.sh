@@ -8,3 +8,5 @@ export PYTHONPATH=/root/repo:${PYTHONPATH}
 timeout 5400 python benchmarks/sweep.py | tee /tmp/sweep_r2.out
 grep '^{' /tmp/sweep_r2.out >> benchmarks/results_tpu_r2_sweep.jsonl
 echo "BATCH15 DONE rc=$?"
+timeout 1800 python benchmarks/exp/fast2m.py
+echo "BATCH15+fast2m DONE rc=$?"
