@@ -203,25 +203,30 @@ class HybridIndex:
         rng = np.random.default_rng(seed)
         probe = rng.choice(live, size=min(sample, len(live)),
                            replace=False)
-        queries = g.store.vectors[probe]
-        # ground truth EXCLUDING the query vector itself (self-matches
-        # would inflate measured recall by 1/k)
-        gt_keys, _ = self._exact_scan(queries, k + 1)
-        gts = []
-        for qi, row in enumerate(gt_keys):
-            self_key = g.slots.key_of(int(probe[qi]))
-            gts.append([kk for kk in row if kk != self_key][:k])
+        # Probes must be OFF-node: a query sitting exactly on a member
+        # is far easier for the beam (it anchors its own basin), so
+        # raw-member probes overestimate recall and under-provision ef
+        # — measured: calibrate(0.9) picked ef=40 which served real
+        # queries at 0.687 (sweep target_recall_random row). Mixing a
+        # 15% step toward another member keeps the probe near the data
+        # manifold but off every node; ground truth is recomputed
+        # exactly for the perturbed probes, so no self-exclusion games
+        # are needed (the seed member is an honest neighbor the search
+        # must find like any other).
+        mix = rng.choice(live, size=len(probe))
+        queries = np.asarray(
+            0.85 * g.store.vectors[probe] + 0.15 * g.store.vectors[mix],
+            np.float32)
+        gt_keys, _ = self._exact_scan(queries, k)
+        gts = [set(row) for row in gt_keys]
 
         def measure(run):
             t0 = _time.perf_counter()
-            keys, _ = run(queries, k + 1)
+            keys, _ = run(queries, k)
             dt = _time.perf_counter() - t0
-            hits = 0
-            for qi, row in enumerate(keys):
-                self_key = g.slots.key_of(int(probe[qi]))
-                got = {kk for kk in row if kk is not None
-                       and kk != self_key}
-                hits += len(got & set(gts[qi]))
+            hits = sum(
+                len({kk for kk in row if kk is not None} & gts[qi])
+                for qi, row in enumerate(keys))
             total = sum(len(gt) for gt in gts) or 1
             return hits / total, dt
 
