@@ -268,7 +268,7 @@ def main():
             t0 = time.perf_counter()
             dg.batch_add(list(range(nd)), data[:nd])
             add_s = time.perf_counter() - t0
-            dg.batch_search(queries[:64], k)      # warm
+            dg.batch_search(queries[:256], k)     # warm SAME batch size
             t0 = time.perf_counter()
             dg.batch_search(queries[:256], k)
             search_s = time.perf_counter() - t0
