@@ -237,14 +237,23 @@ def main():
     fg = FacetedGraph(g)
     for i in range(0, n, 1):
         fg.store.add(i, [Facet("bucket", i % 5)])
+    flt = [EqualityFilter("bucket", 3)]
+    fg.batch_search(queries[:64], k, flt)        # warm/compile
     t0 = time.perf_counter()
-    fg.batch_search(queries[:64], k, [EqualityFilter("bucket", 3)])
+    fg.batch_search(queries[:64], k, flt)
     emit({"config": "faceted", "metric": "filtered_batch64_seconds",
           "value": round(time.perf_counter() - t0, 3),
           "platform": platform})
+    fg.batch_search_exact(queries[:64], k, flt)  # warm/compile
     t0 = time.perf_counter()
-    g.batch_search_with_negatives(queries[:64],
-                                  [data[i:i + 1] for i in range(64)], k, 0.5)
+    fg.batch_search_exact(queries[:64], k, flt)
+    emit({"config": "faceted", "metric": "exact_filtered_batch64_seconds",
+          "value": round(time.perf_counter() - t0, 3),
+          "platform": platform})
+    negs = [data[i:i + 1] for i in range(64)]
+    g.batch_search_with_negatives(queries[:64], negs, k, 0.5)  # warm
+    t0 = time.perf_counter()
+    g.batch_search_with_negatives(queries[:64], negs, k, 0.5)
     emit({"config": "negative", "metric": "negative_batch64_seconds",
           "value": round(time.perf_counter() - t0, 3),
           "platform": platform})
