@@ -179,19 +179,29 @@ class HybridIndex:
         return keys, np.asarray(d)
 
     def calibrate(self, k: int, target_recall: float,
-                  sample: int = 64, seed: int = 0) -> Tuple[str, Any]:
+                  sample: int = 64, seed: int = 0,
+                  probe_queries: Optional[np.ndarray] = None
+                  ) -> Tuple[str, Any]:
         """Pick the cheapest (tier, param) meeting ``target_recall``,
         measured against a sampled exact oracle over the index's own
         data. Replaces raw count thresholds when the caller states a
         recall target (VERDICT: fixes IVF's silent low recall on random
         data). Cached per (k, target); re-measured when the index grows
-        or shrinks by >25%."""
+        or shrinks by >25%.
+
+        ``probe_queries`` calibrates against REAL workload queries
+        instead of synthesized member probes — batch_search passes a
+        sample of the incoming batch when the cached route misses its
+        target on that sample (member-derived probes can be easier
+        than adversarial workloads: measured 0.866 served for a
+        0.95-calibrated route on fully random queries)."""
         import time as _time
         key = (int(k), round(float(target_recall), 3))
         cached = self._calib.get(key)
         n_now = len(self)
-        if cached is not None and cached["n"] > 0 and \
-                abs(n_now - cached["n"]) <= 0.25 * cached["n"]:
+        if probe_queries is None and cached is not None \
+                and cached["n"] > 0 \
+                and abs(n_now - cached["n"]) <= 0.25 * cached["n"]:
             return cached["route"]
         g = self.graph
         n_cap = g.slots.capacity_used
@@ -213,10 +223,13 @@ class HybridIndex:
         # exactly for the perturbed probes, so no self-exclusion games
         # are needed (the seed member is an honest neighbor the search
         # must find like any other).
-        mix = rng.choice(live, size=len(probe))
-        queries = np.asarray(
-            0.85 * g.store.vectors[probe] + 0.15 * g.store.vectors[mix],
-            np.float32)
+        if probe_queries is not None:
+            queries = np.atleast_2d(np.asarray(probe_queries, np.float32))
+        else:
+            mix = rng.choice(live, size=len(probe))
+            queries = np.asarray(
+                0.85 * g.store.vectors[probe]
+                + 0.15 * g.store.vectors[mix], np.float32)
         gt_keys, _ = self._exact_scan(queries, k)
         gts = [set(row) for row in gt_keys]
 
@@ -305,11 +318,29 @@ class HybridIndex:
     def batch_search(self, queries, k: int,
                      target_recall: Optional[float] = None
                      ) -> Tuple[List[List[Any]], np.ndarray]:
-        self.stats.search_count += int(np.atleast_2d(queries).shape[0])
+        queries2d = np.atleast_2d(np.asarray(queries, np.float32))
+        self.stats.search_count += int(queries2d.shape[0])
         if target_recall is not None and len(self.exact) == 0:
             route = self.calibrate(k, target_recall)
+            if route[0] != "exact" and queries2d.shape[0] >= 8:
+                # validate the cached route on a sample of THIS batch:
+                # member-derived probes can under-provision for hard
+                # workloads; the exact oracle over <=64 queries is
+                # cheap, and a miss triggers recalibration against the
+                # real queries.
+                sq = queries2d[:min(64, queries2d.shape[0])]
+                gt_keys, _ = self._exact_scan(sq, k)
+                got_keys, _ = self._route_batch(route, sq, k)
+                hits = sum(len({kk for kk in row if kk is not None}
+                               & set(gt))
+                           for row, gt in zip(got_keys, gt_keys))
+                total = sum(len(gt) for gt in gt_keys) or 1
+                if hits / total < target_recall:
+                    # calibrate() re-caches the workload-derived route
+                    route = self.calibrate(k, target_recall,
+                                           probe_queries=sq)
             self.stats.last_strategy = f"{route[0]}:{route[1]}"
-            return self._route_batch(route, queries, k)
+            return self._route_batch(route, queries2d, k)
         strat = self._strategy()
         self.stats.last_strategy = strat
         if strat == "exact":
