@@ -277,9 +277,10 @@ def main():
             t0 = time.perf_counter()
             dg.batch_add(list(range(nd)), data[:nd])
             add_s = time.perf_counter() - t0
-            dg.batch_search(queries[:256], k)     # warm SAME batch size
+            qn_disk = len(queries[:256])
+            dg.batch_search(queries[:qn_disk], k)  # warm SAME batch size
             t0 = time.perf_counter()
-            dg.batch_search(queries[:256], k)
+            dg.batch_search(queries[:qn_disk], k)
             search_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             dg.batch_delete(list(range(64)))
@@ -298,7 +299,7 @@ def main():
             dg2.close()
             emit({"config": f"disk_{fmt}", "n": nd,
                   "add_us_per_vec": round(add_s / nd * 1e6, 1),
-                  "search_us_per_q": round(search_s / 256 * 1e6, 1),
+                  "search_us_per_q": round(search_s / qn_disk * 1e6, 1),
                   "delete_us_per_key": round(del_s / 64 * 1e6, 1),
                   "save_ms": round(save_s * 1e3, 1),
                   "load_ms": round(load_s * 1e3, 1),

@@ -92,8 +92,9 @@ def quantize_rows(vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return q, scale.astype(np.float32)
 
 
-def _int8_block_fit(vectors: np.ndarray, probes: int = 32,
-                    k: int = 10, max_rows: int = 2_097_152) -> float:
+def _int8_block_fit(vectors: np.ndarray, metric: str = "cosine",
+                    probes: int = 32, k: int = 10,
+                    max_rows: int = 2_097_152) -> float:
     """How well global-int8 scoring preserves neighbor RANKING.
 
     Returns mean top-k overlap between f32-cosine and int8-dequant
@@ -108,7 +109,13 @@ def _int8_block_fit(vectors: np.ndarray, probes: int = 32,
     the k-NN gaps and the check false-passes — a 131k subsample of 1M
     clustered scored 0.95 while full-density scored far lower and
     serving collapsed. Cost: 2 matmuls of [probes, N, D] in chunks,
-    ~2-4 s host time at 1M x 128."""
+    ~2-4 s host time at 1M x 128.
+
+    ``metric`` must match the serving metric, and the check quantizes
+    what PRODUCTION quantizes: for cosine the store is prenormalized
+    before int8 conversion (from_host/device_graph), so the fit is
+    measured on normalized rows — raw rows with wildly varying norms
+    would mis-measure both ways."""
     n = vectors.shape[0]
     if n < 4 * k:
         return 1.0
@@ -119,15 +126,32 @@ def _int8_block_fit(vectors: np.ndarray, probes: int = 32,
         n = max_rows
     else:
         vs_src = vectors
+
+    def prep(vm):
+        vm = np.asarray(vm, np.float32)
+        if metric == "cosine":
+            return vm / np.maximum(
+                np.linalg.norm(vm, axis=1, keepdims=True), 1e-30)
+        return vm
+
     q_idx = rng.choice(n, min(probes, n), replace=False)
-    q = np.asarray(vs_src[q_idx], np.float32)
-    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-    gs = float(np.abs(np.asarray(vs_src[:4096], np.float32)).max())
-    # absmax over a strided sample (full pass over 1M+ rows is slow)
+    q = prep(vs_src[q_idx])
+    q_sq = np.sum(q * q, axis=1)
+    # global absmax over the PREPPED rows, strided sample
+    gs = 0.0
     for c0 in range(0, n, 65536):
-        gs = max(gs, float(np.abs(np.asarray(
-            vs_src[c0:c0 + 4096], np.float32)).max()))
+        gs = max(gs, float(np.abs(prep(vs_src[c0:c0 + 4096])).max()))
     gs = (gs / 127.0) or 1.0
+
+    def dists(qm, qsq, mat):
+        qv = qm @ mat.T
+        if metric == "dot":
+            return -qv
+        if metric == "cosine":
+            nr = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
+            return 1.0 - qv / nr[None, :]
+        vsq = np.sum(mat * mat, axis=1)
+        return qsq[:, None] + vsq[None, :] - 2.0 * qv   # (sq)euclidean
 
     kk = min(k + 1, n)
     P = len(q)
@@ -137,15 +161,10 @@ def _int8_block_fit(vectors: np.ndarray, probes: int = 32,
     i8 = np.full((P, kk), -1, np.int64)
     for c0 in range(0, n, 131072):
         c1 = min(c0 + 131072, n)
-        vm = np.asarray(vs_src[c0:c1], np.float32)
-        nrm = np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-30)
+        vm = prep(vs_src[c0:c1])
         v8 = np.clip(np.rint(vm / gs), -127, 127) * gs
-        for dbuf, ibuf, mat in ((d32, i32, vm / nrm),
-                                (d8, i8, v8 / np.maximum(
-                                    np.linalg.norm(v8, axis=1,
-                                                   keepdims=True),
-                                    1e-30))):
-            d = 1.0 - qn @ mat.T
+        for dbuf, ibuf, mat in ((d32, i32, vm), (d8, i8, v8)):
+            d = dists(q, q_sq, mat)
             cat_d = np.concatenate([dbuf, d], axis=1)
             cat_i = np.concatenate(
                 [ibuf, np.broadcast_to(np.arange(c0, c1), (P, c1 - c0))],

@@ -232,11 +232,17 @@ class FacetedGraph:
                 if s is not None:
                     mask[s] = True
             alive = alive & jnp.asarray(mask)
-        fast = getattr(self.graph, "fast_math", False)
-        d, i = exact_topk(queries.astype(np.float32), dev.vectors,
-                          dev.sq_norms, alive, k=k,
-                          metric=self.graph.metric, fast_math=fast)
-        d, i = np.asarray(d), np.asarray(i)
+        # ALWAYS exact: this method's contract is recall 1.0 (it can
+        # serve as a filtered ground-truth oracle), so the graph's
+        # fast_math approximation is deliberately not inherited.
+        # pow2-bucket the batch (repo rule: shapes recompile).
+        nq = queries.shape[0]
+        q_pad = 1 << max(3, (nq - 1).bit_length())
+        qp = np.zeros((q_pad, queries.shape[1]), np.float32)
+        qp[:nq] = queries
+        d, i = exact_topk(qp, dev.vectors, dev.sq_norms, alive, k=k,
+                          metric=self.graph.metric, fast_math=False)
+        d, i = np.asarray(d)[:nq], np.asarray(i)[:nq]
         out = []
         for qi in range(queries.shape[0]):
             row = [(self.graph.slots.key_of(int(s)), float(dd))

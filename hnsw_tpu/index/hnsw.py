@@ -71,6 +71,7 @@ class Graph:
         self._block_m: Optional[int] = None
         self._block_dtype = "auto"
         self._block_fit_cache = None      # (resolved_dtype, n_at_check)
+        self._mut_since_fit = 0           # vectors changed since check
         self._pivot_cache = None
         #: seeds per query when entry_mode == "pivots"
         self.seed_width = 16
@@ -140,13 +141,16 @@ class Graph:
         if self._block_dtype != "auto" or not self._block_layout:
             return self._block_dtype
         c = self._block_fit_cache
-        if c is not None and c[1] <= 2 * n and n <= 2 * c[1]:
+        if (c is not None and c[1] <= 2 * n and n <= 2 * c[1]
+                and self._mut_since_fit <= 0.25 * c[1]):
             return c[0]
         from hnsw_tpu.core.state import _int8_block_fit
         used = self.slots.capacity_used
-        fit = _int8_block_fit(self.store.vectors[:used]) if used else 1.0
+        fit = (_int8_block_fit(self.store.vectors[:used],
+                               metric=self.metric) if used else 1.0)
         dt = "int8" if fit >= 0.9 else "float16"
         self._block_fit_cache = (dt, max(n, 1))
+        self._mut_since_fit = 0
         return dt
 
     @property
@@ -228,6 +232,7 @@ class Graph:
         slot, _ = self.slots.assign(key)
         self.store.put(slot, vec)
         self.host.insert_many([slot])
+        self._mut_since_fit += 1
         self._dirty = True
 
     def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
@@ -247,6 +252,7 @@ class Graph:
         slot_list = [self.slots.assign(k)[0] for k in keys]
         self.store.put_batch(np.asarray(slot_list, np.int64), vectors)
         self.host.insert_many(slot_list)
+        self._mut_since_fit += len(slot_list)
         self._dirty = True
 
     def build(self, keys: Sequence[Hashable], vectors,
@@ -290,6 +296,8 @@ class Graph:
             bulk_insert_device(self.host, slot_list, wave=wave,
                                quant_descent=quant_descent,
                                block_m=block_m)
+        self._block_fit_cache = None   # bulk data change: re-check fit
+        self._mut_since_fit = 0
         self._dirty = True
 
     def refine(self, wave: int = 2048, slots=None) -> None:
@@ -317,6 +325,7 @@ class Graph:
         self.host.delete_many([slot])
         self.store.kill(slot)
         self.slots.release(key)
+        self._mut_since_fit += 1
         self._dirty = True
         return True
 
@@ -348,6 +357,7 @@ class Graph:
                 touched[dslots[dslots < len(touched)]] = False
                 affected = np.flatnonzero(touched)
             self.host.delete_many(slots)
+            self._mut_since_fit += len(slots)
             self._dirty = True
             if refine and affected is not None and len(affected):
                 self.refine(slots=affected)

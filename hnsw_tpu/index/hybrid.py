@@ -160,6 +160,33 @@ class HybridIndex:
         return "hnsw"
 
     # -- recall-aware routing ---------------------------------------------------
+    def _oracle_scan(self, queries: np.ndarray, k: int
+                     ) -> Tuple[List[List[Any]], np.ndarray]:
+        """Exact oracle over the DEVICE-RESIDENT graph arrays — the
+        cheap path for per-batch route validation (``_exact_scan``
+        re-uploads the whole host store per call, ~512 MB at 1M
+        through the relay). Falls back to the host-store scan in the
+        HBM-quantized capacity mode (vectors not resident). Cosine
+        distances are invariant to the device store's prenormalization.
+        """
+        import jax.numpy as jnp
+
+        from hnsw_tpu.ops.topk import exact_topk
+        g = self.graph
+        dev = g.device_graph()
+        if dev.vectors.shape[0] <= 1:
+            return self._exact_scan(queries, k)
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        nq = q.shape[0]
+        q_pad = 1 << max(3, (nq - 1).bit_length())
+        if q_pad != nq:
+            q = np.pad(q, ((0, q_pad - nq), (0, 0)))
+        d, i = exact_topk(jnp.asarray(q), dev.vectors, dev.sq_norms,
+                          dev.alive, k=k, metric=g.metric)
+        i = np.asarray(i)[:nq]
+        keys = [g.slots.keys_for(row) for row in i]
+        return keys, np.asarray(d)[:nq]
+
     def _exact_scan(self, queries: np.ndarray, k: int
                     ) -> Tuple[List[List[Any]], np.ndarray]:
         """Brute-force scan over the graph tier's vector store (the
@@ -227,10 +254,16 @@ class HybridIndex:
             queries = np.atleast_2d(np.asarray(probe_queries, np.float32))
         else:
             mix = rng.choice(live, size=len(probe))
+            bad = mix == probe     # collision: probe would stay ON-node
+            if bad.any() and len(live) > 1:
+                pos = {int(v): i for i, v in enumerate(live)}
+                mix[bad] = live[(np.array([pos[int(v)]
+                                           for v in probe[bad]]) + 1)
+                                % len(live)]
             queries = np.asarray(
                 0.85 * g.store.vectors[probe]
                 + 0.15 * g.store.vectors[mix], np.float32)
-        gt_keys, _ = self._exact_scan(queries, k)
+        gt_keys, _ = self._oracle_scan(queries, k)
         gts = [set(row) for row in gt_keys]
 
         def measure(run):
@@ -270,7 +303,11 @@ class HybridIndex:
                         lambda q, kk: self.ivf.batch_search(q, kk))
                 finally:
                     self.ivf.nprobe = old
-            if rec >= target_recall and dt < best_dt:
+            # margin above the target: a route serving exactly AT the
+            # target fails the per-batch sample check ~half the time by
+            # binomial noise alone, thrashing recalibration
+            margin = min(0.02, (1.0 - target_recall) / 2)
+            if rec >= target_recall + margin and dt < best_dt:
                 best, best_dt = (tier, param), dt
         route = best if best is not None else ("exact", None)
         self._calib[key] = {"route": route, "n": n_now}
@@ -329,7 +366,7 @@ class HybridIndex:
                 # cheap, and a miss triggers recalibration against the
                 # real queries.
                 sq = queries2d[:min(64, queries2d.shape[0])]
-                gt_keys, _ = self._exact_scan(sq, k)
+                gt_keys, _ = self._oracle_scan(sq, k)
                 got_keys, _ = self._route_batch(route, sq, k)
                 hits = sum(len({kk for kk in row if kk is not None}
                                & set(gt))

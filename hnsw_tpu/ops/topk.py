@@ -149,14 +149,21 @@ def exact_topk(queries: jnp.ndarray, vectors: jnp.ndarray,
                                        (vc, sc, lc, bases))
 
     if fast_math:
-        # f32 rerank of the widened bf16 pool -> exact final ordering
+        # f32 rerank of the widened bf16 pool -> exact final ordering.
+        # CRITICAL: rows whose SELECTED distance was INF are masked-out
+        # candidates (dead/filtered/padded) that approx_min_k returned
+        # as fillers — their indices are >= 0, so masking on ik alone
+        # would let the rerank recompute their true distance and
+        # resurrect them into the top-k (confirmed: selective-filter
+        # scans returned non-matching rows).
+        was_masked = dk >= INF_DIST
         safe = jnp.clip(ik, 0, n - 1)
         cv = vectors[safe].astype(jnp.float32)          # [Q, kk, D]
         csq = v_sq[safe]
         from hnsw_tpu.ops.distance import gathered_dist
         d = gathered_dist(q, cv, csq, q_sq, metric=metric,
                           precision=jax.lax.Precision.HIGHEST)
-        d = jnp.where(ik >= 0, d, INF_DIST)
+        d = jnp.where((ik >= 0) & ~was_masked, d, INF_DIST)
         dk, pos = topk_smallest(d, min(k, d.shape[1]))
         ik = jnp.take_along_axis(ik, pos, axis=1)
 
