@@ -121,3 +121,29 @@ def test_pallas_k_above_32_interpret():
                               interpret=True)
     gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
     assert np.array_equal(np.asarray(i_), gt_i)
+
+def test_fast_math_does_not_resurrect_masked_rows():
+    """Review regression: approx_min_k returns masked-out (dead/
+    filtered) rows as INF fillers with VALID indices; the f32 rerank
+    must not recompute their true distances and re-admit them."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnsw_tpu.ops.topk import exact_topk
+    from tests.conftest import make_vectors
+
+    n, d, k = 500, 16, 5
+    v = make_vectors(n, d, seed=95)
+    sq = np.sum(v * v, axis=1)
+    alive = np.zeros(n, bool)
+    allowed = [100, 200, 300]
+    alive[allowed] = True
+    q = v[200][None]
+    for fast in (False, True):
+        dd, ii = exact_topk(jnp.asarray(q), jnp.asarray(v),
+                            jnp.asarray(sq), jnp.asarray(alive),
+                            k=k, metric="cosine", fast_math=fast)
+        ii = np.asarray(ii)[0]
+        got = {int(x) for x in ii if x >= 0}
+        assert got <= set(allowed), (fast, ii)
+        assert int(ii[0]) == 200
