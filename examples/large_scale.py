@@ -4,15 +4,18 @@ On the MXU, brute-force exact scan IS the fast path far beyond where
 CPU libraries switch to graphs (measured on one v5e chip, 128-d
 cosine, batch 1024-8192):
 
-    N = 10k    exact ~200k-800k qps   recall 1.0
-    N = 100k   exact ~39k-130k qps    recall 1.0
-    N = 1M     exact ~17k qps         recall 1.0
+    N = 10k    exact ~226k qps (fast 270k @ .997)   recall 1.0
+    N = 100k   exact ~39k-130k qps                  recall 1.0
+    N = 1M     exact 17k qps; fast 197k @ .9991
+    N = 2M     exact 8k qps;  fast 118k @ .9994     (one chip)
 
 The reference's Go engine serves 10k at ~0.4k qps (recall .98). The
 hybrid index therefore keeps datasets in the exact tier far longer on
 TPU, moves to IVF partition scans for very large clustered corpora,
-and uses the HNSW graph for incremental/delete-heavy workloads and
-multi-chip partitioned serving.
+and uses the HNSW graph (block layout + pivot entry, auto fp16 blocks
+on tight clusters) for incremental/delete-heavy workloads and
+multi-chip partitioned serving. Single-chip device builds scale to 2M
+vectors (~49 min).
 
 Run: python examples/large_scale.py          (real TPU; ~5 min)
 """
