@@ -116,3 +116,47 @@ def test_auto_block_dtype_on_clustered_data():
     g2.build(list(range(2000)), make_vectors(2000, 32, seed=70))
     g2.block_layout = True
     assert str(g2.device_graph().nbr_blocks.dtype) == "int8"
+
+def test_block_fit_cache_invalidated_on_data_replacement():
+    """Review regression: replacing the dataset at similar N must
+    re-run the int8 fit check — a stale 'int8' decision on newly
+    clustered data re-admits the recall-collapse regime."""
+    import numpy as np
+
+    from hnsw_tpu import Graph
+    from tests.conftest import make_vectors
+
+    rng = np.random.default_rng(1)
+    n, d = 3000, 48
+    spread = make_vectors(n, d, seed=71)
+    g = Graph(seed=0)
+    g.build(list(range(n)), spread)
+    g.block_layout = True
+    assert str(g.device_graph().nbr_blocks.dtype) == "int8"
+
+    # replace ALL vectors with tightly clustered data at the same N
+    centers = rng.standard_normal((30, d)).astype(np.float32) * 5
+    clustered = (centers[rng.integers(0, 30, n)]
+                 + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    g.build(list(range(n)), clustered)
+    g.block_layout = True
+    assert str(g.device_graph().nbr_blocks.dtype) == "float16"
+
+
+def test_hybrid_oracle_scan_matches_exact_scan():
+    """_oracle_scan (device-resident arrays, the cheap per-batch
+    validation oracle) must agree with the host-store _exact_scan."""
+    import numpy as np
+
+    from hnsw_tpu import HybridConfig, HybridIndex
+    from tests.conftest import make_vectors
+
+    n, d, k = 1200, 24, 5
+    v = make_vectors(n, d, seed=72)
+    h = HybridIndex(HybridConfig(exact_threshold=100))
+    h.batch_add(list(range(n)), v)
+    q = make_vectors(16, d, seed=73)
+    k1, d1 = h._oracle_scan(q, k)
+    k2, d2 = h._exact_scan(q, k)
+    assert [list(r) for r in k1] == [list(r) for r in k2]
+    np.testing.assert_allclose(d1, d2, atol=1e-4)
