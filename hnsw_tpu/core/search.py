@@ -435,7 +435,13 @@ def search_graph(g: DeviceGraph, queries: jnp.ndarray, *, k: int, ef: int,
                                metric=metric, precision=precision,
                                expand=expand, merge=merge,
                                store_normalized=store_normalized)
-    if device_rerank and (fast_math or g.qvec is not None):
+    if (device_rerank and (fast_math or g.qvec is not None)
+            and g.vectors.shape[0] > 1):
+        # NOTE the shape guard: in HBM-quantized capacity mode g.vectors
+        # is a [1, D] placeholder — reranking against it would clamp
+        # every gather to row 0 and silently corrupt distances/order
+        # (callers like parallel/sharded.py don't pass
+        # device_rerank=False). Mirrors _score_hop's guard.
         # f32 rerank of the head of the pool: traversal ordering ran in
         # bf16 (and/or against the int8 store); reported distances (and
         # the final top-k ordering) are recomputed at HIGHEST over a

@@ -94,7 +94,7 @@ def quantize_rows(vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def _int8_block_fit(vectors: np.ndarray, metric: str = "cosine",
                     probes: int = 32, k: int = 10,
-                    max_rows: int = 2_097_152) -> float:
+                    max_rows: int | None = None) -> float:
     """How well global-int8 scoring preserves neighbor RANKING.
 
     Returns mean top-k overlap between f32-cosine and int8-dequant
@@ -108,8 +108,10 @@ def _int8_block_fit(vectors: np.ndarray, metric: str = "cosine",
     The scan must run at FULL density: subsampling the store inflates
     the k-NN gaps and the check false-passes — a 131k subsample of 1M
     clustered scored 0.95 while full-density scored far lower and
-    serving collapsed. Cost: 2 matmuls of [probes, N, D] in chunks,
-    ~2-4 s host time at 1M x 128.
+    serving collapsed. ``max_rows`` therefore defaults to None (scan
+    everything, 4M+ included); pass a cap only when a caller knowingly
+    accepts the false-pass risk. Cost: 2 matmuls of [probes, N, D] in
+    chunks, ~2-4 s host time at 1M x 128, ~10-15 s at 4M.
 
     ``metric`` must match the serving metric, and the check quantizes
     what PRODUCTION quantizes: for cosine the store is prenormalized
@@ -120,7 +122,7 @@ def _int8_block_fit(vectors: np.ndarray, metric: str = "cosine",
     if n < 4 * k:
         return 1.0
     rng = np.random.default_rng(0)
-    if n > max_rows:
+    if max_rows is not None and n > max_rows:
         rows = np.sort(rng.choice(n, max_rows, replace=False))
         vs_src = vectors[rows]
         n = max_rows
@@ -185,7 +187,8 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
               hbm_vectors: bool = True,
               block_layout: bool = False,
               block_m: int | None = None,
-              block_dtype: str = "auto") -> DeviceGraph:
+              block_dtype: str = "auto",
+              metric: str = "cosine") -> DeviceGraph:
     """Upload padded host arrays to device, bucketing capacity.
 
     ``hbm_vectors=False`` (requires quantize=True) uploads only the int8
@@ -200,6 +203,8 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
     default for spread-out data), "float16" (2 bytes — needed when
     within-cluster separations drown in int8 noise), or "auto"
     (sample-check int8's ranking fidelity via _int8_block_fit and pick).
+    ``metric`` is the SERVING metric — it parameterizes the auto fit
+    check (a cosine-based fidelity decision is wrong for l2/dot data).
     """
     if not hbm_vectors and not (quantize or block_layout):
         raise ValueError("hbm_vectors=False requires quantize=True")
@@ -207,6 +212,12 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
         quantize = True
     n = vectors.shape[0]
     cap = cap_pad if cap_pad is not None else bucket_pow2(n)
+    # bit 30 of slot ids carries the search pool's "expanded" flag
+    # (core/search._EXP_BIT); ids at/above 2^30 would be corrupted.
+    if cap >= (1 << 30):
+        raise ValueError(
+            f"cap {cap} >= 2^30: slot ids would collide with the "
+            "search pool's expanded-flag bit (core/search._EXP_BIT)")
     L, _, m = neighbors.shape
 
     def pad_rows(a, fill):
@@ -256,7 +267,8 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
     if block_layout and qvec is not None and nb_dev.shape[0]:
         if block_dtype == "auto":
             block_dtype = ("int8" if _int8_block_fit(
-                vectors[: max(1, n)]) >= 0.9 else "float16")
+                vectors[: max(1, n)], metric=metric) >= 0.9
+                else "float16")
         if block_dtype == "float16":
             # int8 cannot rank this data (tight clusters); gather the
             # blocks from a transient fp16 copy instead — 2x the block

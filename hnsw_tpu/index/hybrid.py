@@ -75,6 +75,13 @@ class HybridIndex:
         self.stats = IndexStats()
         #: (k, target) -> {"route": (tier, param), "n": count at calibration}
         self._calib: Dict[Tuple[int, float], Dict[str, Any]] = {}
+        #: per-(k, target) validation cadence state: {"stride", "since"}.
+        #: Exponential back-off on consecutive passes (1, 2, 4, ... up to
+        #: _VALIDATE_MAX_STRIDE batches between oracle checks); reset to
+        #: stride 1 on a miss or any mutation.
+        self._vstate: Dict[Tuple[int, float], Dict[str, int]] = {}
+
+    _VALIDATE_MAX_STRIDE = 256
 
     # -- sizing tiers ---------------------------------------------------------
     def _lsh_tier(self) -> bool:
@@ -131,6 +138,7 @@ class HybridIndex:
         self.stats.total_vectors = new_total
         self.stats.hnsw_count = len(self.graph)
         self.stats.lsh_count = len(self.lsh)
+        self._vstate.clear()   # mutations reset the validation back-off
 
     def delete(self, key: Hashable) -> bool:
         """Fan to all sub-indexes (hybrid.go:406)."""
@@ -146,6 +154,7 @@ class HybridIndex:
             self.stats.exact_count = len(self.exact)
             self.stats.hnsw_count = len(self.graph)
             self.stats.lsh_count = len(self.lsh)
+            self._vstate.clear()
         return ok
 
     def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
@@ -358,26 +367,44 @@ class HybridIndex:
         queries2d = np.atleast_2d(np.asarray(queries, np.float32))
         self.stats.search_count += int(queries2d.shape[0])
         if target_recall is not None and len(self.exact) == 0:
+            key = (int(k), round(float(target_recall), 3))
             route = self.calibrate(k, target_recall)
+            # Serve the batch through the cached route FIRST — the
+            # leading rows double as the validation sample, so a
+            # passing check costs zero extra route dispatches.
+            got = self._route_batch(route, queries2d, k)
             if route[0] != "exact" and queries2d.shape[0] >= 8:
-                # validate the cached route on a sample of THIS batch:
-                # member-derived probes can under-provision for hard
-                # workloads; the exact oracle over <=64 queries is
-                # cheap, and a miss triggers recalibration against the
-                # real queries.
-                sq = queries2d[:min(64, queries2d.shape[0])]
-                gt_keys, _ = self._oracle_scan(sq, k)
-                got_keys, _ = self._route_batch(route, sq, k)
-                hits = sum(len({kk for kk in row if kk is not None}
-                               & set(gt))
-                           for row, gt in zip(got_keys, gt_keys))
-                total = sum(len(gt) for gt in gt_keys) or 1
-                if hits / total < target_recall:
-                    # calibrate() re-caches the workload-derived route
-                    route = self.calibrate(k, target_recall,
-                                           probe_queries=sq)
+                # Validate against the exact oracle on <=64 real batch
+                # queries (member-derived calibration probes can
+                # under-provision for hard workloads — measured 0.866
+                # served for a 0.95 target on fully-random queries).
+                # Amortized: every `stride` batches, stride doubling on
+                # consecutive passes up to _VALIDATE_MAX_STRIDE; a miss
+                # recalibrates on the real queries and resets to 1.
+                vs = self._vstate.setdefault(key,
+                                             {"stride": 1, "since": 0})
+                vs["since"] += 1
+                if vs["since"] >= vs["stride"]:
+                    vs["since"] = 0
+                    ns = min(64, queries2d.shape[0])
+                    sq = queries2d[:ns]
+                    gt_keys, _ = self._oracle_scan(sq, k)
+                    hits = sum(len({kk for kk in row if kk is not None}
+                                   & set(gt))
+                               for row, gt in zip(got[0][:ns], gt_keys))
+                    total = sum(len(gt) for gt in gt_keys) or 1
+                    if hits / total < target_recall:
+                        # calibrate() re-caches the workload-derived
+                        # route; re-serve the whole batch through it
+                        route = self.calibrate(k, target_recall,
+                                               probe_queries=sq)
+                        vs["stride"] = 1
+                        got = self._route_batch(route, queries2d, k)
+                    else:
+                        vs["stride"] = min(2 * vs["stride"],
+                                           self._VALIDATE_MAX_STRIDE)
             self.stats.last_strategy = f"{route[0]}:{route[1]}"
-            return self._route_batch(route, queries2d, k)
+            return got
         strat = self._strategy()
         self.stats.last_strategy = strat
         if strat == "exact":

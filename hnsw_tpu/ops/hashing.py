@@ -28,6 +28,19 @@ def make_hyperplanes(num_tables: int, num_bits: int, dim: int,
     return h
 
 
+def np_hash_codes(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Host (numpy) twin of hash_codes — the latency tier hashes small
+    query batches without a device round-trip. Bit-for-bit the same
+    packing; a projection landing EXACTLY on 0.0 could in principle
+    sign differently between BLAS and XLA summation orders, which for
+    LSH means a different (equally valid) bucket probe."""
+    T, B, D = planes.shape
+    proj = np.asarray(vectors, np.float32) @ planes.reshape(T * B, D).T
+    bits = (proj > 0).reshape(-1, T, B).astype(np.int64)
+    return np.sum(bits << np.arange(B, dtype=np.int64)[None, None, :],
+                  axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def hash_codes(vectors: jnp.ndarray, planes: jnp.ndarray) -> jnp.ndarray:
     """Pack sign bits into per-table int64 codes.

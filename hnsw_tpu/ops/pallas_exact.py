@@ -121,7 +121,14 @@ def _make_kernel(metric: str, k_sel: int, tc: int, fast_math: bool):
         tile_ids = (tile_keys & col_mask) + (j * tc)
 
         # merge with the running accumulator: 2*k_sel-wide extraction;
-        # ids recovered by masked max (keys are globally comparable)
+        # ids recovered by masked max (keys are globally comparable).
+        # CAVEAT: two DISTINCT candidates from different tiles can share
+        # one packed key (same quantized-distance bucket + same in-tile
+        # column); `sel` then masks both in one pass and max(ids) keeps
+        # only one — a bounded candidate loss (at most one per exact
+        # key collision), absorbed by the caller's k_sel = k+8 margin
+        # and the f32 rerank. Accepted: folding a tile-id bit into the
+        # key would cost packed-id range for a measure-zero event.
         keys = jnp.concatenate([outk_ref[:], tile_keys], axis=1)
         ids = jnp.concatenate([outi_ref[:], tile_ids], axis=1)
         out_k = []

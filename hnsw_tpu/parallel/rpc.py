@@ -218,9 +218,18 @@ class SocketTransport(Transport):
     def __init__(self, addrs: Sequence[Tuple[str, int]],
                  timeout: Optional[float] = 30.0,
                  connect_retries: int = 2,
-                 retry_backoff: float = 0.2):
+                 retry_backoff: float = 0.2,
+                 request_timeout: Optional[float] = None):
+        """``timeout`` bounds CONNECT only. ``request_timeout`` is the
+        per-request deadline once connected — default None (no
+        deadline): a slice's first device-to-host transfer can stall
+        35-60 s (minutes after a killed TPU process), so a 30 s
+        request deadline would spuriously fail healthy slices during
+        warmup. A request timeout raises TimeoutError and is NEVER
+        reconnect-replayed (the request may still be executing)."""
         self.addrs = [tuple(a) for a in addrs]
         self.timeout = timeout
+        self.request_timeout = request_timeout
         self.connect_retries = max(1, connect_retries)
         self.retry_backoff = retry_backoff
         self._socks: Dict[int, socket.socket] = {}
@@ -236,6 +245,9 @@ class SocketTransport(Transport):
                 s = socket.create_connection(self.addrs[slice_id],
                                              timeout=self.timeout)
                 s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                # switch from the connect timeout to the per-request
+                # deadline (None = block: TPU warmup stalls are normal)
+                s.settimeout(self.request_timeout)
                 return s
             except OSError as e:
                 last = e
@@ -270,7 +282,16 @@ class SocketTransport(Transport):
                 if sock is None:
                     raise ConnectionError
                 return self._roundtrip(sock, method, args, kw)
-            except OSError:   # incl. ConnectionError/timeout subclasses
+            except socket.timeout:
+                # Deadline expired but the slice may STILL be executing
+                # the request (e.g. a TPU warmup stall) — the stream is
+                # mid-frame and a replay could double-apply a write.
+                # Drop the connection and surface the timeout as-is.
+                self._drop(slice_id)
+                raise TimeoutError(
+                    f"slice {slice_id} request {method!r} exceeded "
+                    f"request_timeout={self.request_timeout}s") from None
+            except OSError:   # connection reset/closed — NOT timeout
                 # stale/broken connection: reconnect and replay once.
                 # Only safe because every wire method is idempotent-ish
                 # at the index level (adds overwrite, deletes return
