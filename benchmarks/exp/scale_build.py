@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "results_tpu_r2.jsonl")
+OUT = os.path.join(os.path.dirname(__file__), "..", "results_tpu_r3.jsonl")
 
 
 def emit(rec):

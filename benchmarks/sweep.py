@@ -207,6 +207,44 @@ def main():
                          if isinstance(v, dict)},
           "platform": platform})
 
+    # ---- config 4a: single-query LATENCY tier (native C++ serving) --------
+    # Reference anchors: adaptive hybrid 2.51 ms/q at 10k x 128
+    # (hybrid/README.md:650), parquet single search 128 us
+    # (parquet/README.md:69). Batches <= Graph.native_serve_max_batch
+    # route to the native engine — no jit dispatch, no device-link RTT.
+    for label, ef_l in (("ef64", 64), ("ef96", 96), ("ef192", 192)):
+        lat = []
+        for i in range(min(200, n_q)):
+            t0 = time.perf_counter()
+            g.search(queries[i], k, ef=ef_l)
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        keys_l = [[kk for kk, _ in g.search(queries[i], k, ef=ef_l)]
+                  for i in range(64)]
+        emit({"config": "single_query_latency", "tier": "graph_native",
+              "ef": ef_l,
+              "p50_ms": round(lat[len(lat) // 2] * 1000, 3),
+              "p95_ms": round(lat[int(0.95 * len(lat))] * 1000, 3),
+              "recall@10": round(recall_of(keys_l, gt[:64], k), 4),
+              "platform": platform})
+    # adaptive at FULL n — the reference's 2.51 ms anchor is 10k x 128
+    a10 = AdaptiveHybridIndex(
+        hybrid_config=HybridConfig(exact_threshold=500))
+    a10.batch_add(list(range(n)), data)
+    for i in range(20):
+        a10.search(queries[i], k)      # warm every strategy
+    lat = []
+    for i in range(min(200, n_q)):
+        t0 = time.perf_counter()
+        a10.search(queries[i], k)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    emit({"config": "single_query_latency", "tier": "adaptive",
+          "n": n, "p50_ms": round(lat[len(lat) // 2] * 1000, 3),
+          "p95_ms": round(lat[int(0.95 * len(lat))] * 1000, 3),
+          "avg_ms": round(sum(lat) / len(lat) * 1000, 3),
+          "platform": platform})
+
     # ---- config 4b: recall-aware routing (target_recall contract) ---------
     from hnsw_tpu import HybridIndex
     for kind in ("random", "clustered"):

@@ -226,26 +226,31 @@ def _set_layer(nb_dev, nb_l, layer: int):
     return nb_dev.at[layer].set(nb_l)
 
 
-def _sparse_sync(host: host_build.HostGraph, nb_dev, lv: np.ndarray,
-                 ncap: int) -> None:
+def _sparse_sync(host: host_build.HostGraph, nb0_dev, nbU_dev,
+                 lv: np.ndarray, ncap: int) -> None:
     """D2H of the final neighbor state: dense layer 0, sparse uppers.
 
-    Only a ml^l fraction of nodes reaches layer l, so the dense
-    [L, cap, Wd] pull ships ~10x the occupied bytes — measured 450s of
+    Only a ml^l fraction of nodes reaches layer l, so a dense pull of
+    the upper stack ships ~10x the occupied bytes — measured 450s of
     the 1M build's 2420s went to this single transfer through the
     relay. One bucketed 2D gather fetches every occupied upper row.
+
+    ``nb0_dev`` [cap_pad, Wd] is layer 0; ``nbU_dev`` [L-1, cap_pad, m]
+    holds the uppers (None when the graph has one layer) — the split
+    device layout (DeviceGraph.nbr_upper).
     """
     L_all = host.neighbors.shape[0]
-    host.neighbors[0][:] = np.asarray(nb_dev[0, :ncap])
+    host.neighbors[0][:] = np.asarray(nb0_dev[:ncap])
     per_rows = []
     for l in range(1, L_all):
         rows = np.flatnonzero(lv >= l)
         host.neighbors[l][:ncap] = -1
         per_rows.append(rows)
     T = sum(len(r) for r in per_rows)
-    if T == 0:
+    if T == 0 or nbU_dev is None:
         return
-    li = np.concatenate([np.full(len(r), l + 1, np.int32)
+    m_up = nbU_dev.shape[2]
+    li = np.concatenate([np.full(len(r), l, np.int32)
                          for l, r in enumerate(per_rows)])
     ri = np.concatenate(per_rows)
     tb = bucket_pow2(max(T, 1), 256)
@@ -253,10 +258,11 @@ def _sparse_sync(host: host_build.HostGraph, nb_dev, lv: np.ndarray,
     rpad = np.zeros(tb, np.int64)
     lpad[:T] = li
     rpad[:T] = ri
-    sel = np.asarray(nb_dev[jnp.asarray(lpad), jnp.asarray(rpad)])[:T]
+    sel = np.asarray(nbU_dev[jnp.asarray(lpad), jnp.asarray(rpad)])[:T]
     off = 0
     for l, rows in enumerate(per_rows):
-        host.neighbors[l + 1][rows] = sel[off:off + len(rows)]
+        host.neighbors[l + 1][rows, :m_up] = sel[off:off + len(rows)]
+        host.neighbors[l + 1][rows, m_up:] = -1
         off += len(rows)
 
 
@@ -327,8 +333,16 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     vectors_dev = jnp.asarray(pad_rows(
         store.vectors[:ncap], 0, (cap_pad, store.dim)))
     sq_dev = jnp.asarray(pad_rows(store.sq_norms[:ncap], 0, (cap_pad,)))
-    nb_dev = jnp.asarray(pad_rows(host.neighbors, -1,
-                                  (L_all, cap_pad, Wd)))
+    # SPLIT neighbor storage (DeviceGraph.nbr_upper): layer 0 at the
+    # full degree, uppers at m — the dense [L, cap, Wd] stack allocated
+    # every upper layer at layer-0 width (~2.3 GB wasted at 4M; the 4M
+    # single-chip blocker, ROADMAP 2). Host upper rows never carry more
+    # than m live edges (cfg.max_degree), so the slice is lossless.
+    m_up = cfg.m
+    nb0_dev = jnp.asarray(pad_rows(host.neighbors[0], -1, (cap_pad, Wd)))
+    nbU_dev = (jnp.asarray(pad_rows(host.neighbors[1:, :, :m_up], -1,
+                                    (L_all - 1, cap_pad, m_up)))
+               if L_all > 1 else None)
     levels_dev = jnp.asarray(pad_rows(host.levels[:ncap], -1, (cap_pad,)))
     alive_dev = levels_dev >= 0
     qvec_dev = qscale_dev = block_scale = None
@@ -342,8 +356,11 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
         block_scale = jnp.asarray(np.float32(gs))
         if block_m is None and cap_pad * Wd * store.dim > 5 * 1024 ** 3:
             # HBM guard: full blocks would not leave room for the
-            # descent working set on a 16 GB chip (2M+ builds)
+            # descent working set on a 16 GB chip (2M+ builds; at 4M
+            # even half rows are 2 GB of int8 blocks)
             block_m = max(8, Wd // 2)
+            if cap_pad * block_m * store.dim > 5 * 1024 ** 3:
+                block_m = 8
 
     n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
     import os as _os
@@ -374,14 +391,15 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             # block tensor) before gathering the new one — at 2M+ two
             # live block tensors alone would exceed HBM
             g = None  # noqa: F841
-            nbr_blocks = _gather_blocks(qvec_dev, nb_dev[0],
+            nbr_blocks = _gather_blocks(qvec_dev, nb0_dev,
                                         block_m=block_m)
         g = DeviceGraph(vectors=vectors_dev, sq_norms=sq_dev,
-                        neighbors=nb_dev, levels=levels_dev,
+                        neighbors=nb0_dev[None], levels=levels_dev,
                         alive=alive_dev,
                         entry=jnp.asarray(np.int32(host.entry)),
                         qvec=qvec_dev, qscale=qscale_dev,
-                        nbr_blocks=nbr_blocks, block_scale=block_scale)
+                        nbr_blocks=nbr_blocks, block_scale=block_scale,
+                        nbr_upper=nbU_dev)
         wq = vectors_dev[wsl_dev]
         cand_d, cand_i = construction_descent(
             g, wq, ef=max(cfg.ef_construction, n_cand), m_out=n_cand,
@@ -418,18 +436,20 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                 intra_k=intra_k, metric=metric,
                 diversify=cfg.diversify)                # [Pp, deg]
 
-            # scatter wave rows
+            # scatter wave rows (layer 0 and uppers live in separate
+            # tables at their own widths; deg == table width for both)
             tgt_slots = jnp.where(jnp.asarray(part_pad) >= 0,
                                   wsl_dev[jnp.clip(jnp.asarray(
                                       part_pad.astype(np.int32)), 0,
                                       cur_wave - 1)],
                                   cap_pad)  # dropped
+            Wl = Wd if layer == 0 else m_up
             full_rows = jnp.concatenate(
-                [rows, jnp.full((Pp, Wd - deg), -1, jnp.int32)], axis=1) \
-                if Wd > deg else rows
-            nb_l = nb_dev[layer]
+                [rows, jnp.full((Pp, Wl - deg), -1, jnp.int32)], axis=1) \
+                if Wl > deg else rows
+            nb_l = nb0_dev if layer == 0 else nbU_dev[layer - 1]
             nb_l = jnp.concatenate(
-                [nb_l, jnp.full((1, Wd), -1, jnp.int32)]) \
+                [nb_l, jnp.full((1, Wl), -1, jnp.int32)]) \
                 .at[tgt_slots].set(full_rows, mode="drop")[:cap_pad]
 
             # reverse edges
@@ -440,7 +460,10 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             nb_l = _reverse_update(nb_l, vectors_dev, sq_dev, rev_t,
                                    rev_s, deg=deg, metric=metric,
                                    diversify=cfg.reverse_diversify)
-            nb_dev = _set_layer(nb_dev, nb_l, layer)
+            if layer == 0:
+                nb0_dev = nb_l
+            else:
+                nbU_dev = _set_layer(nbU_dev, nb_l, layer - 1)
 
         # commit wave (device scatters + host bookkeeping)
         upd = jnp.asarray(wslots.astype(np.int32))
@@ -462,7 +485,7 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     # ---- single D2H sync ----------------------------------------------------
     lv = np.asarray(levels_dev[:ncap])
     host.levels[:ncap] = lv
-    _sparse_sync(host, nb_dev, lv, ncap)
+    _sparse_sync(host, nb0_dev, nbU_dev, lv, ncap)
 
 
 def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
@@ -506,8 +529,12 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
     vectors_dev = jnp.asarray(pad_rows(
         store.vectors[:ncap], 0, (cap_pad, store.dim)))
     sq_dev = jnp.asarray(pad_rows(store.sq_norms[:ncap], 0, (cap_pad,)))
-    nb_dev = jnp.asarray(pad_rows(host.neighbors, -1,
-                                  (L_all, cap_pad, Wd)))
+    # split storage, mirroring bulk_insert_device
+    m_up = cfg.m
+    nb0_dev = jnp.asarray(pad_rows(host.neighbors[0], -1, (cap_pad, Wd)))
+    nbU_dev = (jnp.asarray(pad_rows(host.neighbors[1:, :, :m_up], -1,
+                                    (L_all - 1, cap_pad, m_up)))
+               if L_all > 1 else None)
     levels_dev = jnp.asarray(pad_rows(host.levels[:ncap], -1, (cap_pad,)))
     alive_dev = levels_dev >= 0
     qvec_dev = qscale_dev = block_scale = None
@@ -523,6 +550,8 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
             # HBM guard: full blocks would not leave room for the
             # descent working set on a 16 GB chip (2M+ builds)
             block_m = max(8, Wd // 2)
+            if cap_pad * block_m * store.dim > 5 * 1024 ** 3:
+                block_m = 8
     n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
 
     for w0 in range(0, len(alive_slots), wave):
@@ -541,14 +570,15 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
             # block tensor) before gathering the new one — at 2M+ two
             # live block tensors alone would exceed HBM
             g = None  # noqa: F841
-            nbr_blocks = _gather_blocks(qvec_dev, nb_dev[0],
+            nbr_blocks = _gather_blocks(qvec_dev, nb0_dev,
                                         block_m=block_m)
         g = DeviceGraph(vectors=vectors_dev, sq_norms=sq_dev,
-                        neighbors=nb_dev, levels=levels_dev,
+                        neighbors=nb0_dev[None], levels=levels_dev,
                         alive=alive_dev,
                         entry=jnp.asarray(np.int32(host.entry)),
                         qvec=qvec_dev, qscale=qscale_dev,
-                        nbr_blocks=nbr_blocks, block_scale=block_scale)
+                        nbr_blocks=nbr_blocks, block_scale=block_scale,
+                        nbr_upper=nbU_dev)
         wq = vectors_dev[wsl_dev]
         cand_d, cand_i = construction_descent(
             g, wq, ef=max(cfg.ef_construction, n_cand), m_out=n_cand,
@@ -572,12 +602,13 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
                 wsl_dev[jnp.clip(jnp.asarray(part_pad.astype(np.int32)),
                                  0, cur_wave - 1)],
                 cap_pad)
+            Wl = Wd if layer == 0 else m_up
             full_rows = jnp.concatenate(
-                [rows, jnp.full((cur_wave, Wd - deg), -1, jnp.int32)],
-                axis=1) if Wd > deg else rows
-            nb_l = nb_dev[layer]
+                [rows, jnp.full((cur_wave, Wl - deg), -1, jnp.int32)],
+                axis=1) if Wl > deg else rows
+            nb_l = nb0_dev if layer == 0 else nbU_dev[layer - 1]
             nb_l = jnp.concatenate(
-                [nb_l, jnp.full((1, Wd), -1, jnp.int32)]) \
+                [nb_l, jnp.full((1, Wl), -1, jnp.int32)]) \
                 .at[tgt_slots].set(full_rows, mode="drop")[:cap_pad]
             rev_t = rows.reshape(-1)
             rev_s = jnp.repeat(tgt_slots.astype(jnp.int32), deg)
@@ -586,6 +617,9 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
             nb_l = _reverse_update(nb_l, vectors_dev, sq_dev, rev_t,
                                    rev_s, deg=deg, metric=metric,
                                    diversify=cfg.reverse_diversify)
-            nb_dev = _set_layer(nb_dev, nb_l, layer)
+            if layer == 0:
+                nb0_dev = nb_l
+            else:
+                nbU_dev = _set_layer(nbU_dev, nb_l, layer - 1)
 
-    _sparse_sync(host, nb_dev, host.levels[:ncap], ncap)
+    _sparse_sync(host, nb0_dev, nbU_dev, host.levels[:ncap], ncap)

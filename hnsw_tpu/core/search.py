@@ -163,8 +163,8 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
     cap = g.cap
     P = pool_size
     E = max(1, min(expand, P))
-    M = g.m
-    neigh = g.neighbors[layer]              # [cap, M]
+    neigh = g.layer_neighbors(layer)        # [cap, M] (M0 or upper m)
+    M = neigh.shape[1]
     rows = jnp.arange(B)
     use_blocks = (layer == 0 and g.nbr_blocks is not None
                   and registered(metric) is None)

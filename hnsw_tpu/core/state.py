@@ -50,6 +50,13 @@ class DeviceGraph(NamedTuple):
     #: GLOBAL dequant factor (blocks and qvec share it in this mode).
     nbr_blocks: Optional[jnp.ndarray] = None   # [cap, M0, D] int8
     block_scale: Optional[jnp.ndarray] = None  # [] float32
+    #: optional SPLIT upper-layer storage: when set, ``neighbors`` holds
+    #: ONLY layer 0 ([1, cap, M0]) and this holds layers 1..L-1 at the
+    #: upper degree m ([L-1, cap, m]). The dense [L, cap, max(m0, m)]
+    #: stack allocates every layer at layer-0 width although upper rows
+    #: carry at most m edges and only an ml^l fraction of nodes — ~2.3
+    #: GB wasted at 4M (the single-chip 4M-build blocker, ROADMAP 2).
+    nbr_upper: Optional[jnp.ndarray] = None    # [L-1, cap, m] int32
 
     @property
     def cap(self) -> int:
@@ -64,11 +71,20 @@ class DeviceGraph(NamedTuple):
 
     @property
     def num_layers(self) -> int:
+        if self.nbr_upper is not None:
+            return self.neighbors.shape[0] + self.nbr_upper.shape[0]
         return self.neighbors.shape[0]
 
     @property
     def m(self) -> int:
         return self.neighbors.shape[2]
+
+    def layer_neighbors(self, layer: int) -> jnp.ndarray:
+        """[cap, width] adjacency of one layer (width is M0 for layer 0
+        and m for uppers when the split storage is active)."""
+        if self.nbr_upper is not None and layer > 0:
+            return self.nbr_upper[layer - 1]
+        return self.neighbors[layer]
 
 
 def bucket_pow2(n: int, minimum: int = 8) -> int:
@@ -188,7 +204,9 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
               block_layout: bool = False,
               block_m: int | None = None,
               block_dtype: str = "auto",
-              metric: str = "cosine") -> DeviceGraph:
+              metric: str = "cosine",
+              split_layers: bool = False,
+              upper_m: int | None = None) -> DeviceGraph:
     """Upload padded host arrays to device, bucketing capacity.
 
     ``hbm_vectors=False`` (requires quantize=True) uploads only the int8
@@ -262,7 +280,22 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
     else:
         dim = vectors.shape[1] if vectors.ndim == 2 and vectors.size else 1
         vec_dev = jnp.zeros((1, dim), jnp.float32)
-    nb_dev = jnp.asarray(pad_rows(nb, -1))
+    nbr_upper = None
+    if split_layers and nb.shape[0] > 1:
+        # split device layout (DeviceGraph.nbr_upper): layer 0 at full
+        # width, uppers truncated to upper_m (host upper rows never
+        # carry more than the upper degree m — GraphConfig.max_degree)
+        mu = upper_m if upper_m is not None else nb.shape[2]
+
+        def pad3(a, fill):
+            out = np.full((a.shape[0], cap, a.shape[2]), fill, a.dtype)
+            out[:, : a.shape[1]] = a
+            return out
+
+        nb_dev = jnp.asarray(pad3(nb[:1], -1))
+        nbr_upper = jnp.asarray(pad3(nb[1:, :, :mu], -1))
+    else:
+        nb_dev = jnp.asarray(pad_rows(nb, -1))
     nbr_blocks = block_scale = None
     if block_layout and qvec is not None and nb_dev.shape[0]:
         if block_dtype == "auto":
@@ -294,6 +327,7 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
         qscale=qscale,
         nbr_blocks=nbr_blocks,
         block_scale=block_scale,
+        nbr_upper=nbr_upper,
     )
 
 

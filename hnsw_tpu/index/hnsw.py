@@ -81,6 +81,12 @@ class Graph:
         #: core/search.py — measured +16-18% qps at 10k, parity at
         #: 100k, merge_ab rows) or "sort" (full stable lax.sort)
         self.merge_strategy = "bitonic"
+        #: Split device neighbor storage (layer 0 at full width, uppers
+        #: at m) — halves upper-layer HBM; "auto" splits once the dense
+        #: stack would exceed ~1 GB (4M-scale serving; smaller graphs
+        #: keep the single-array layout that PartitionedGraph's stacker
+        #: expects). True/False force it.
+        self.split_layers: "bool | str" = "auto"
         #: LATENCY tier: batches up to this size are served by the
         #: native C++ engine on the HOST graph arrays — no jit dispatch,
         #: no device-link RTT (the relay costs milliseconds per call;
@@ -399,6 +405,10 @@ class Graph:
                 # and hops skip the per-candidate norm gather entirely
                 vecs = vecs / np.sqrt(np.maximum(sqs, 1e-30))[:, None]
                 sqs = np.ones_like(sqs)
+            split = self.split_layers
+            if split == "auto":
+                dense_bytes = nb.shape[0] * cap * nb.shape[2] * 4
+                split = dense_bytes > (1 << 30)
             self._dev = from_host(
                 vecs,
                 sqs,
@@ -411,7 +421,10 @@ class Graph:
                 hbm_vectors=self._hbm_mode != "quantized",
                 block_layout=self._block_layout,
                 block_m=self.block_m,
-                block_dtype=self._resolve_block_dtype(n))
+                block_dtype=self._resolve_block_dtype(n),
+                metric=self.metric,
+                split_layers=bool(split),
+                upper_m=self.cfg.m)
             self._dirty = False
         return self._dev
 

@@ -57,6 +57,12 @@ class PartitionedGraph:
                                        seed=self.cfg.seed)
         self.graphs: List[Graph] = [Graph(config=self.cfg)
                                     for _ in range(self.n_parts)]
+        for g in self.graphs:
+            # the stacked pytree pads/stacks `neighbors` as one dense
+            # [L, cap, M] array per partition; keep sub-graphs on the
+            # dense layout (partitions are capped small — the split
+            # layout's HBM win is a 4M+ single-graph concern)
+            g.split_layers = False
         self._stacked = None
         self._cap = 0
         self._dirty = True
