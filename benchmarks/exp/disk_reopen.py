@@ -12,7 +12,13 @@ parquet/graph.go:649-788, overlay reopen parquet/incremental.go:237-352):
 Done-criteria anchors: persist 1M < 60 s (measured 54.5 s, batch20);
 reopen of a 100k graph with 100 WAL adds < 10 s.
 
-Usage: python benchmarks/exp/disk_reopen.py [N] [delta] [fmt]
+Usage: python benchmarks/exp/disk_reopen.py [N] [delta] [fmt] [synthetic]
+
+``synthetic`` skips the real construction and fills the host graph with
+a random-but-valid structure (geometric levels, M-degree random edges).
+Persist/reopen cost depends only on table sizes and edge counts, not on
+edge quality, so the lifecycle timings are honest while the build takes
+seconds instead of the minutes a real 100k CPU build would cost.
 """
 
 import json
@@ -29,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 DELTA = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 FMT = sys.argv[3] if len(sys.argv) > 3 else "parquet"
+SYNTH = len(sys.argv) > 4 and sys.argv[4] == "synthetic"
 D = 128
 WORK = os.environ.get("HNSW_TPU_WORKDIR", "/tmp/disk_reopen_bench")
 
@@ -39,9 +46,46 @@ def emit(**rec):
     print(json.dumps(rec), flush=True)
 
 
+def _synthetic_fill(g, keys, vecs, rng):
+    """Fill the host graph with a valid random structure: geometric
+    levels (the reference's ml=0.25 law) + full-degree random edges.
+    Table sizes and edge counts match a real build of the same N, so the
+    persist/reopen timings below are faithful without paying a real
+    construction."""
+    n = len(keys)
+    slots = np.asarray([g.slots.assign(k)[0] for k in keys], np.int64)
+    g.store.put_batch(slots, vecs)
+    host = g.host
+    # P(level >= l) = ml^l  (graph.go:370 geometric law)
+    levels = np.minimum(rng.geometric(1.0 - g.cfg.ml, size=n) - 1,
+                        8).astype(np.int32)
+    levels[0] = levels.max()  # deterministic entry candidate
+    top = int(levels.max())
+    host._ensure(n - 1, top)
+    host.levels[:n] = levels
+    w = host.neighbors.shape[2]
+    for layer in range(top + 1):
+        members = np.flatnonzero(levels >= layer)
+        deg = min(w if layer == 0 else g.cfg.m, w,
+                  max(len(members) - 1, 0))
+        if deg == 0:
+            continue
+        # random targets from the member set; self-edges dropped by
+        # the persist mask being absent is fine (valid slot ids only)
+        tgt = members[rng.integers(0, len(members),
+                                   size=(len(members), deg))]
+        host.neighbors[layer, members, :deg] = tgt.astype(np.int32)
+    host.count = n
+    host.entry = int(np.flatnonzero(levels == top)[0])
+    host.top = top
+    g._dirty = True
+
+
 def main():
-    from hnsw_tpu.utils.warmup import warmup_transfers
-    warmup_transfers()
+    # CPU-only: disk lifecycle timings must not contend for the
+    # single-client TPU relay (a concurrent TPU job would block).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     from hnsw_tpu.io.disk_graph import DiskGraph
 
     shutil.rmtree(WORK, ignore_errors=True)
@@ -51,9 +95,13 @@ def main():
 
     dg = DiskGraph(WORK, fmt=FMT)
     t0 = time.perf_counter()
-    dg.batch_add(keys, vecs)
+    if SYNTH:
+        _synthetic_fill(dg.graph, keys, vecs, rng)
+    else:
+        dg.batch_add(keys, vecs)
     build_s = time.perf_counter() - t0
-    emit(stage="build", n=N, fmt=FMT, seconds=round(build_s, 2))
+    emit(stage="build", n=N, fmt=FMT, synthetic=SYNTH,
+         seconds=round(build_s, 2))
 
     # compact() = persist + discard logs; time the persist alone
     t0 = time.perf_counter()

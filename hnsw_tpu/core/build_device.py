@@ -477,7 +477,7 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             host.entry = int(wslots[int(np.argmax(wlevels))])
         w0 = w1
         if _progress:
-            jax.block_until_ready(nb_dev)
+            jax.block_until_ready(nb0_dev)
             print(f"# build wave done: {w0}/{n_new} "
                   f"(+{W} @ {_time.perf_counter() - _t_start:.0f}s)",
                   file=_sys.stderr, flush=True)
