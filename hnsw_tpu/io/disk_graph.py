@@ -110,18 +110,15 @@ class DiskGraph:
         # merge the WAL overlay WITHOUT deleting logs; logs are only
         # discarded after the merged state is durably persisted
         # (compaction-on-open, parquet/graph.go:157 — minus the
-        # reference's delete-before-persist ordering hazard)
-        keys, vecs = self.wal.merge(base_keys, base_vecs)
-        deleted: list = []
-        delta_keys: list = []
-        if has_logs:
-            base_map = {k: v for k, v in zip(base_keys, base_vecs)}
-            merged_set = set(keys)
-            deleted = [k for k in base_keys if k not in merged_set]
-            for k, v in zip(keys, vecs):
-                b = base_map.get(k)
-                if b is None or not np.array_equal(b, v):
-                    delta_keys.append(k)
+        # reference's delete-before-persist ordering hazard). The delta
+        # comes from the overlay itself — never from comparing every
+        # base row (that scan cost seconds per million keys on reopen).
+        ov = self.wal.overlay() if has_logs else {}
+        keys, vecs = self.wal.merge(base_keys, base_vecs, overlay=ov)
+        base_set = set(base_keys) if ov else set()
+        deleted = [k for k, v in ov.items()
+                   if v is None and k in base_set]
+        delta_keys = [k for k, v in ov.items() if v is not None]
         changed = bool(deleted or delta_keys)
         have_struct = os.path.exists(self._p("neighbors"))
         if not changed and have_struct:
@@ -146,24 +143,31 @@ class DiskGraph:
                 if deleted:
                     g.batch_delete(deleted)
                 if delta_keys:
-                    merged_map = {k: v for k, v in zip(keys, vecs)}
-                    dvecs = np.stack([merged_map[k] for k in delta_keys])
+                    dvecs = np.stack([ov[k] for k in delta_keys])
                     if len(delta_keys) >= 256:
                         g.build(delta_keys, dvecs)
                     else:
                         g.batch_add(delta_keys, dvecs)
-            elif keys:
-                g.build(keys, vecs)
-            self._persist(g)
-            self.wal.discard_logs()
+                # base tables + WAL logs still jointly describe this
+                # state — keep them and skip the full persist unless
+                # compaction is due (a small-delta reopen must not pay
+                # a full table rewrite; parquet/graph.go:157 always
+                # rewrites, a cost §7.4 says not to replicate).
+                if self.wal.should_compact():
+                    self._persist(g)
+                    self.wal.discard_logs()
+            else:
+                if keys:
+                    g.build(keys, vecs)
+                self._persist(g)
+                self.wal.discard_logs()
         return g
 
     def _restore_structure(self, g: Graph, keys, vecs, meta) -> None:
         """Rebuild the host graph arrays from the persisted tables —
         vectorized end to end (one np.lexsort + scatter instead of a
         Python loop per edge; the old loop cost minutes at 1M)."""
-        slot_arr = np.asarray([g.slots.assign(k)[0] for k in keys],
-                              np.int64)
+        slot_arr = g.slots.assign_fresh_batch(keys)
         g.store.put_batch(slot_arr, vecs)
         lids, kidx, nidx, dk = T.read_edges_indexed(
             self._p("neighbors"), self.fmt)
@@ -172,13 +176,16 @@ class DiskGraph:
         n = len(keys)
         L = int(max(lids.max(initial=0), llids.max(initial=0))) + 1
         g.host._ensure(max(n - 1, 0), L - 1)
-        # dictionary position -> slot (one host dict pass per table)
-        dk_slot = np.asarray(
+        # dictionary position -> slot. _persist writes the SAME key list
+        # to the vectors table and both edge dictionaries, so the common
+        # case is an identity map onto slot_arr; fall back to the dict
+        # pass only if the lists diverge (e.g. externally rewritten).
+        dk_slot = (slot_arr if list(dk) == list(keys) else np.asarray(
             [-1 if (s := g.slots.slot_of(k)) is None else s
-             for k in dk], np.int64)
-        ldk_slot = np.asarray(
+             for k in dk], np.int64))
+        ldk_slot = (slot_arr if list(ldk) == list(keys) else np.asarray(
             [-1 if (s := g.slots.slot_of(k)) is None else s
-             for k in ldk], np.int64)
+             for k in ldk], np.int64))
         # levels: max layer id seen per key in the layers table
         lsl = ldk_slot[lkidx]
         lok = lsl >= 0

@@ -175,7 +175,11 @@ def read_vectors(path: str, fmt: str) -> Tuple[List[Any], np.ndarray]:
         raise ValueError(f"unknown format {fmt}")
     meta = table.schema.metadata or {}
     kind = (meta.get(b"key_kind") or b"int64").decode()
-    keys = decode_keys(table.column("key").to_pylist(), kind)
+    if kind == "int64":  # bulk int path: ~10x the per-item to_pylist
+        keys = table.column("key").combine_chunks().to_numpy(
+            zero_copy_only=False).tolist()
+    else:
+        keys = decode_keys(table.column("key").to_pylist(), kind)
     vec_col = table.column("vector")
     vecs = np.asarray(vec_col.combine_chunks().flatten(),
                       dtype=np.float32)
@@ -245,15 +249,32 @@ def write_edges_indexed(path: str, layer_ids: np.ndarray,
         return
     if not HAVE_ARROW:  # pragma: no cover
         raise RuntimeError("pyarrow unavailable; use fmt='npz'")
-    kt = pa.int64() if kind == "int64" else pa.string()
-    dict_arr = pa.array(enc, kt)
-    table = pa.table({
-        "layer_id": pa.array(layer_ids, pa.int32()),
-        "key": pa.DictionaryArray.from_arrays(
-            pa.array(key_idx, pa.int32()), dict_arr),
-        "neighbor_key": pa.DictionaryArray.from_arrays(
-            pa.array(nbr_idx, pa.int32()), dict_arr),
-    }).replace_schema_metadata({"key_kind": kind, "encoding": "dict"})
+    if kind == "int64":
+        # RAW-INDEX encoding: plain int32 index columns + the dictionary
+        # as int64 bytes in the footer metadata. Parquet decodes int64
+        # DictionaryArrays to plain values on read (read_dictionary only
+        # applies to byte-array columns), which forced an np.unique
+        # re-factorization costing seconds per million edges on reopen;
+        # raw indices make the read one zero-copy column fetch +
+        # np.frombuffer. Footer holds n keys x 8 B (8 MB at 1M — fine).
+        table = pa.table({
+            "layer_id": pa.array(layer_ids, pa.int32()),
+            "key_idx": pa.array(key_idx, pa.int32()),
+            "neighbor_idx": pa.array(nbr_idx, pa.int32()),
+        }).replace_schema_metadata({
+            "key_kind": kind, "encoding": "rawidx",
+            "dict": np.asarray(enc, np.int64).tobytes()})
+    else:
+        kt = pa.string()
+        dict_arr = pa.array(enc, kt)
+        table = pa.table({
+            "layer_id": pa.array(layer_ids, pa.int32()),
+            "key": pa.DictionaryArray.from_arrays(
+                pa.array(key_idx, pa.int32()), dict_arr),
+            "neighbor_key": pa.DictionaryArray.from_arrays(
+                pa.array(nbr_idx, pa.int32()), dict_arr),
+        }).replace_schema_metadata({"key_kind": kind,
+                                    "encoding": "dict"})
     if fmt == "parquet":
         _atomic_write(path, lambda p: pq.write_table(
             table, p, compression=compression))
@@ -297,6 +318,15 @@ def read_edges_indexed(path: str, fmt: str
         raise ValueError(f"unknown format {fmt}")
     meta = table.schema.metadata or {}
     kind = (meta.get(b"key_kind") or b"int64").decode()
+    if meta.get(b"encoding") == b"rawidx":
+        dk = np.frombuffer(meta[b"dict"], np.int64)
+        return (table.column("layer_id").combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.int32, copy=False),
+                table.column("key_idx").combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.int32, copy=False),
+                table.column("neighbor_idx").combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.int32, copy=False),
+                dk.tolist())
     kcol = table.column("key").combine_chunks()
     ncol = table.column("neighbor_key").combine_chunks()
     if not pa.types.is_dictionary(kcol.type):

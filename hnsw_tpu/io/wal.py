@@ -161,24 +161,38 @@ class IncrementalStore:
                 return True
         return False
 
-    def merge(self, base_keys: Sequence[Any], base_vectors: np.ndarray
+    def merge(self, base_keys: Sequence[Any], base_vectors: np.ndarray,
+              overlay: Optional[Dict[Any, Optional[np.ndarray]]] = None
               ) -> Tuple[List[Any], np.ndarray]:
         """Merge base + overlay WITHOUT touching the log files. The
         caller persists the merged state first, then calls
-        ``discard_logs`` — so a crash between the two never loses data."""
-        merged: Dict[Any, np.ndarray] = {
-            k: v for k, v in zip(base_keys, base_vectors)}
-        for k, v in self.overlay().items():
-            if v is None:
-                merged.pop(k, None)
-            else:
-                merged[k] = v
-        keys = list(merged.keys())
-        if keys:
-            vecs = np.stack([merged[k] for k in keys])
-        else:
-            dim = base_vectors.shape[1] if base_vectors.size else 0
-            vecs = np.zeros((0, dim), np.float32)
+        ``discard_logs`` — so a crash between the two never loses data.
+
+        Vectorized for the common shape (huge base, small overlay): the
+        untouched base rows ride one boolean-mask slice instead of a
+        per-key dict + np.stack (which cost tens of seconds per million
+        rows on reopen). Pass ``overlay`` to reuse an already-read one.
+        """
+        ov = self.overlay() if overlay is None else overlay
+        base_vectors = np.asarray(base_vectors)
+        if not ov:
+            return list(base_keys), base_vectors
+        touched = set(ov)
+        keep = np.fromiter((k not in touched for k in base_keys),
+                           bool, count=len(base_keys))
+        keys = [k for k, m in zip(base_keys, keep) if m]
+        adds = [(k, v) for k, v in ov.items() if v is not None]
+        keys += [k for k, _ in adds]
+        dim = (base_vectors.shape[1] if base_vectors.ndim == 2
+               and base_vectors.size else
+               (len(adds[0][1]) if adds else 0))
+        parts = []
+        if keep.any():
+            parts.append(base_vectors[keep])
+        if adds:
+            parts.append(np.stack([v for _, v in adds]))
+        vecs = (np.concatenate(parts).astype(np.float32, copy=False)
+                if parts else np.zeros((0, dim), np.float32))
         return keys, vecs
 
     def discard_logs(self) -> None:

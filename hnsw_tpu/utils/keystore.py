@@ -60,6 +60,22 @@ class SlotMap:
         self.key_to_slot[key] = s
         return s, True
 
+    def assign_fresh_batch(self, keys: Sequence[Hashable]) -> np.ndarray:
+        """Bulk ``assign`` for distinct NEW keys on an empty/append-only
+        tail — one dict.update instead of a Python call per key (the
+        per-key loop was seconds per million keys on graph reopen).
+        Falls back to the per-key path when the fast preconditions
+        (no free slots, no collisions) don't hold."""
+        ks = set(keys)
+        if (not self.free and len(ks) == len(keys)
+                and not (self.key_to_slot.keys() & ks)):
+            base = len(self.slot_to_key)
+            self.slot_to_key.extend(keys)
+            self.key_to_slot.update(
+                zip(keys, range(base, base + len(keys))))
+            return np.arange(base, base + len(keys), dtype=np.int64)
+        return np.asarray([self.assign(k)[0] for k in keys], np.int64)
+
     def release(self, key: Hashable) -> Optional[int]:
         """Remove ``key``; its slot goes on the free list. Returns the slot."""
         s = self.key_to_slot.pop(key, None)
