@@ -261,6 +261,46 @@ def main():
           "avg_ms": round(sum(lat) / len(lat) * 1000, 3),
           "platform": platform})
 
+    # ---- config 4c: the reference's flagship adaptive table ---------------
+    # Row-for-row replication of hybrid/README.md:649-652 (M2 Pro):
+    #   1k x 128 random     0.052 ms avg, recall 1.00
+    #   10k x 128 random    2.51 ms avg,  recall 0.98
+    #   10k x 512 random    1.97 ms avg,  recall 0.96
+    #   10k x 128 clustered 2.01 ms avg,  recall 0.97
+    from benchmarks.datasets import synthetic_standin
+    ref_rows = [(1000, 128, "random", 0.052), (n, d, "random", 2.51),
+                (n, 512, "random", 1.97), (n, d, "clustered", 2.01)]
+    if args.small:
+        ref_rows = [(800, 32, "random", 0.052), (800, 32, "clustered",
+                                                 2.01)]
+    for rn, rd, kind, ref_ms in ref_rows:
+        if kind == "random" and (rn, rd) == (n, d):
+            at, base_v, qv = a10, data, queries
+        else:
+            base_v, qv = synthetic_standin(rn, rd, 256, seed=11,
+                                           kind=kind)
+            at = AdaptiveHybridIndex(
+                hybrid_config=HybridConfig(exact_threshold=500))
+            at.batch_add(list(range(rn)), base_v)
+        for i in range(20):
+            at.search(qv[i % len(qv)], k)
+        lat = []
+        for i in range(200):
+            t0 = time.perf_counter()
+            at.search(qv[i % len(qv)], k)
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        keys_a = [[kk for kk, _ in at.search(qv[i], k)]
+                  for i in range(64)]
+        _, gta = np_exact_topk(qv[:64], base_v, k, "cosine")
+        emit({"config": "adaptive_reference_table",
+              "rows": f"{rn}x{rd}_{kind}",
+              "avg_ms": round(sum(lat) / len(lat) * 1000, 3),
+              "p95_ms": round(lat[int(0.95 * len(lat))] * 1000, 3),
+              "recall@10": round(recall_of(keys_a, gta, k), 4),
+              "reference_avg_ms": ref_ms,
+              "platform": platform})
+
     # ---- config 4b: recall-aware routing (target_recall contract) ---------
     from hnsw_tpu import HybridIndex
     for kind in ("random", "clustered"):
