@@ -228,7 +228,10 @@ def main():
     # (hybrid/README.md:650), parquet single search 128 us
     # (parquet/README.md:69). Batches <= Graph.native_serve_max_batch
     # route to the native engine — no jit dispatch, no device-link RTT.
-    for label, ef_l in (("ef64", 64), ("ef96", 96), ("ef192", 192)):
+    # ef=20 is the reference's default efSearch (its 128 us parquet
+    # single-search anchor runs at that setting)
+    for label, ef_l in (("ef20", 20), ("ef64", 64), ("ef96", 96),
+                        ("ef192", 192)):
         lat = []
         for i in range(min(200, n_q)):
             t0 = time.perf_counter()
