@@ -129,6 +129,42 @@ def test_disk_graph_wal_replay_on_open(tmp_path):
     assert g2.graph.lookup(3) is None
 
 
+def test_disk_graph_incremental_reopen_keeps_logs(tmp_path):
+    """Small-delta reopen replays the WAL WITHOUT rewriting the base
+    tables (the logs stay the durable delta). A second crash-reopen
+    must replay the same delta again — nothing may be lost between
+    incremental reopens that never compact."""
+    d = str(tmp_path / "dg")
+    v = make_vectors(70, 8, seed=77)
+    g = DiskGraph(d, fmt="npz")
+    g.batch_add(list(range(60)), v[:60])
+    g.save()
+    g.wal.discard_logs()
+    for i in range(60, 70):
+        g.graph.add(i, v[i])
+        g.wal.record_add(i, v[i])
+    g.wal.record_delete(2)
+    g.wal.flush()
+    g._stop_flusher.set()  # crash: no compact/persist
+    g2 = DiskGraph(d, fmt="npz")
+    assert len(g2) == 69
+    assert g2.graph.lookup(2) is None
+    assert g2.search(v[65], 1)[0][0] == 65
+    # the delta was NOT folded into the base: logs must survive
+    assert g2.wal.num_log_files > 0
+    g2._stop_flusher.set()  # crash again, still without compaction
+    g3 = DiskGraph(d, fmt="npz")
+    assert len(g3) == 69
+    assert g3.graph.lookup(2) is None
+    assert g3.search(v[65], 1)[0][0] == 65
+    # explicit compaction folds and clears
+    g3.compact()
+    assert g3.wal.num_log_files == 0
+    g3._stop_flusher.set()
+    g4 = DiskGraph(d, fmt="npz")
+    assert len(g4) == 69 and g4.search(v[65], 1)[0][0] == 65
+
+
 def test_disk_graph_quality_parity_with_memory(tmp_path):
     # the reference's oracle: disk-backed results ~= in-memory results
     # (parquet/graph_test.go:179, InDelta 0.1 on avg distance)
