@@ -269,3 +269,37 @@ def test_block_layout_recall_and_exact_distances():
     g.delete(keys_b[0][0])
     keys2, _ = g.batch_search(q[:1], k)
     assert keys_b[0][0] not in keys2[0]
+
+
+def test_slotmap_assign_fresh_batch_paths():
+    """Bulk assignment fast path (fresh keys, no free slots) and the
+    per-key fallback (free slots / duplicates / collisions) agree with
+    sequential assign semantics."""
+    import numpy as np
+    from hnsw_tpu.utils.keystore import SlotMap
+
+    # fast path: empty map
+    m = SlotMap()
+    s = m.assign_fresh_batch(["a", "b", "c"])
+    assert s.tolist() == [0, 1, 2]
+    assert m.slot_of("b") == 1
+
+    # fast path again: append-only tail
+    s2 = m.assign_fresh_batch(["d", "e"])
+    assert s2.tolist() == [3, 4]
+
+    # collision with existing key -> fallback, same slot returned
+    s3 = m.assign_fresh_batch(["a", "f"])
+    assert s3.tolist() == [0, 5]
+
+    # free-slot reuse -> fallback fills the freed slot
+    m.release("b")
+    s4 = m.assign_fresh_batch(["g"])
+    assert s4.tolist() == [1]
+    assert m.key_of(1) == "g"
+
+    # duplicate keys inside the batch -> fallback, last-coherent map
+    m2 = SlotMap()
+    s5 = m2.assign_fresh_batch(["x", "x", "y"])
+    assert s5.tolist() == [0, 0, 1]
+    assert len(m2) == 2
