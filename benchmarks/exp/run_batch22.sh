@@ -9,4 +9,5 @@ cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH}
 python benchmarks/sweep.py | tee benchmarks/results_tpu_r3_sweep2.jsonl
 python benchmarks/exp/fastN.py 4000000 8192
+python benchmarks/exp/exact10m.py
 echo "BATCH22 DONE rc=$?"

@@ -95,6 +95,19 @@ class Graph:
         #: #1). The device path takes over where lockstep batching
         #: amortizes the dispatch. 0 disables the native tier.
         self.native_serve_max_batch = 32
+        self._ef_calib: dict = {}     # (k, target) -> {ef, recall, n}
+        self._ef_default: Optional[int] = None   # calibrate_ef override
+
+    @property
+    def ef_search(self) -> int:
+        """Default search ef — ``cfg.ef_search`` unless ``calibrate_ef``
+        installed a measured override (cfg is frozen by design)."""
+        return self._ef_default if self._ef_default is not None \
+            else self.cfg.ef_search
+
+    @ef_search.setter
+    def ef_search(self, ef: int) -> None:
+        self._ef_default = int(ef)
 
     @property
     def block_layout(self) -> bool:
@@ -449,7 +462,7 @@ class Graph:
             return (np.full((q, k), INF_DIST, np.float32),
                     np.full((q, k), -1, np.int64))
         self.store.ensure_dim(queries.shape[-1])
-        ef = ef if ef is not None else self.cfg.ef_search
+        ef = ef if ef is not None else self.ef_search
         if 0 < queries.shape[0] <= self.native_serve_max_batch:
             res = self._native_search(queries, k, ef)
             if res is not None:
@@ -546,6 +559,109 @@ class Graph:
         d, i = self.batch_search_slots(queries, k, ef)
         keys = [self.slots.keys_for(row) for row in i]
         return keys, d
+
+    def _host_oracle_slots(self, queries: np.ndarray, k: int,
+                           chunk: int = 1 << 20
+                           ) -> np.ndarray:
+        """Exact top-k SLOT ids for ``queries`` via a chunked host BLAS
+        scan of the live store — the calibration ground truth. Host-side
+        so it works in every mode (hbm_mode="quantized" keeps only a
+        placeholder on device; disk stores page in per chunk)."""
+        cap = self.slots.capacity_used
+        alive = self.store.alive[:cap]
+        live = np.flatnonzero(alive)
+        qf = np.atleast_2d(np.asarray(queries, np.float32))
+        q_sq = np.sum(qf * qf, axis=-1)
+        best_d = [np.empty((qf.shape[0], 0), np.float32)]
+        best_i = [np.empty((qf.shape[0], 0), np.int64)]
+        for lo in range(0, len(live), chunk):
+            sl = live[lo:lo + chunk]
+            rows = self.store.get_batch(sl).astype(np.float32)
+            qv = qf @ rows.T
+            c_sq = self.store.sq_norms[sl]
+            if self.metric == "dot":
+                d = -qv
+            elif self.metric == "cosine":
+                d = 1.0 - qv / np.sqrt(q_sq[:, None] * c_sq + 1e-30)
+            else:
+                d = np.maximum(q_sq[:, None] + c_sq - 2.0 * qv, 0.0)
+                if self.metric == "l2":
+                    d = np.sqrt(d)
+            kk = min(k, d.shape[1])
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            best_d.append(np.take_along_axis(d, part, axis=1))
+            best_i.append(sl[part])
+        d_all = np.concatenate(best_d, axis=1)
+        i_all = np.concatenate(best_i, axis=1)
+        kk = min(k, d_all.shape[1])
+        part = np.argpartition(d_all, kk - 1, axis=1)[:, :kk]
+        return np.take_along_axis(i_all, part, axis=1)
+
+    def calibrate_ef(self, target_recall: float, k: int = 10,
+                     sample: int = 64, seed: int = 0,
+                     ladder: Sequence[int] = (20, 40, 64, 96, 128, 192,
+                                              256, 384, 512, 768, 1024)
+                     ) -> Tuple[int, float]:
+        """Self-tuning ef: install the smallest ``ef`` whose measured
+        recall@k against an exact oracle meets ``target_recall`` as the
+        graph's default ``ef_search``, and return
+        ``(ef, measured_recall)``.
+
+        Standalone-graph counterpart of ``HybridIndex.calibrate`` (which
+        routes across tiers; here the tier is fixed and only ef moves) —
+        the ef-autoscale policy from ROADMAP item 4: ef must grow with N
+        on unstructured data, and a fixed default silently under-serves.
+        Probes are synthesized OFF-node (0.85/0.15 member mix — raw
+        member probes anchor their own basin and overestimate recall;
+        measured 0.687 served for a 0.9 member-calibrated route).
+        Cached per (k, target); re-measured when the graph grows or
+        shrinks by >25%.  If no ladder rung meets the target, the
+        best-measured rung is installed (cheapest on recall ties) and
+        its recall returned — callers
+        wanting a hard contract should route via
+        ``HybridIndex.search(target_recall=...)`` which can fall back
+        to the exact tier.
+        """
+        key = (int(k), round(float(target_recall), 3))
+        n_now = len(self)
+        cached = self._ef_calib.get(key)
+        if cached is not None and cached["n"] > 0 \
+                and abs(n_now - cached["n"]) <= 0.25 * cached["n"]:
+            self.ef_search = cached["ef"]
+            return cached["ef"], cached["recall"]
+        cap = self.slots.capacity_used
+        live = np.flatnonzero(self.store.alive[:cap])
+        if len(live) == 0:
+            return self.ef_search, 1.0
+        rng = np.random.default_rng(seed)
+        probe = rng.choice(live, size=min(sample, len(live)),
+                           replace=False)
+        mix = rng.choice(live, size=len(probe))
+        bad = mix == probe
+        if bad.any() and len(live) > 1:
+            pos = {int(v): i for i, v in enumerate(live)}
+            mix[bad] = live[(np.array([pos[int(v)] for v in probe[bad]])
+                             + 1) % len(live)]
+        queries = (0.85 * self.store.get_batch(probe).astype(np.float32)
+                   + 0.15 * self.store.get_batch(mix).astype(np.float32))
+        gt = self._host_oracle_slots(queries, k)
+        gts = [set(map(int, row)) for row in gt]
+        total = sum(len(s) for s in gts) or 1
+        best_ef, best_rec = None, -1.0
+        for ef in sorted({max(int(e), k) for e in ladder}):
+            _, ii = self.batch_search_slots(queries, k, ef=ef)
+            hits = sum(len({int(s) for s in row if s >= 0} & gts[qi])
+                       for qi, row in enumerate(ii))
+            rec = hits / total
+            if rec > best_rec:
+                best_ef, best_rec = ef, rec
+            if rec >= target_recall:
+                best_ef, best_rec = ef, rec
+                break
+        self._ef_calib[key] = {"ef": best_ef, "recall": best_rec,
+                               "n": n_now}
+        self.ef_search = best_ef
+        return best_ef, best_rec
 
     def search(self, query, k: int, ef: Optional[int] = None
                ) -> List[Tuple[Any, float]]:

@@ -303,3 +303,37 @@ def test_slotmap_assign_fresh_batch_paths():
     s5 = m2.assign_fresh_batch(["x", "x", "y"])
     assert s5.tolist() == [0, 0, 1]
     assert len(m2) == 2
+
+
+def test_calibrate_ef_meets_target_and_caches():
+    n, d, k = 1500, 32, 10
+    v = make_vectors(n, d, seed=30)
+    g = Graph(metric="cosine", ef_search=10, seed=0)
+    g.build(list(range(n)), v)
+    ef, rec = g.calibrate_ef(0.9, k=k, sample=48, seed=1)
+    assert rec >= 0.9, f"calibrated recall {rec} below target"
+    assert g.ef_search == ef
+    # installed ef serves fresh off-distribution queries near target
+    q = make_vectors(64, d, seed=31)
+    keys, _ = g.batch_search(q, k)
+    from hnsw_tpu.ops.topk import np_exact_topk
+    _, gt = np_exact_topk(q, v, k, "cosine")
+    served = recall_at_k(keys, gt, k)
+    assert served >= 0.75, f"served recall {served} too far below target"
+    # second call at the same (k, target) is served from the cache
+    calls = {"n": 0}
+    orig = g._host_oracle_slots
+    g._host_oracle_slots = lambda *a, **kw: (calls.__setitem__("n", calls["n"] + 1) or orig(*a, **kw))
+    ef2, _ = g.calibrate_ef(0.9, k=k, sample=48, seed=1)
+    assert ef2 == ef and calls["n"] == 0
+    g._host_oracle_slots = orig
+
+
+def test_calibrate_ef_unreachable_target_installs_best():
+    n, d = 400, 16
+    v = make_vectors(n, d, seed=33)
+    g = Graph(metric="l2", seed=0)
+    g.build(list(range(n)), v)
+    ef, rec = g.calibrate_ef(1.01, k=5, sample=32, ladder=(8, 16))
+    assert ef in (8, 16) and 0.0 <= rec < 1.01
+    assert g.ef_search == ef
