@@ -113,6 +113,26 @@ def main():
     g.block_layout = False
     g.entry_mode = "descent"
 
+    # ef-autoscale: calibrate_ef installs the cheapest ef meeting the
+    # target, then the default-ef serve rides it (ROADMAP item 4)
+    for tgt in (0.9, 0.95):
+        t0 = time.perf_counter()
+        ef_c, rec_c = g.calibrate_ef(tgt, k=k, seed=3)
+        cal_s = time.perf_counter() - t0
+        g.batch_search(queries, k)  # warm at the installed ef
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _, i_out = g.batch_search_slots(queries, k)
+        dt = (time.perf_counter() - t0) / 3
+        emit({"config": "cosine_10kx128", "strategy": "hnsw_autoef",
+              "target": tgt, "ef": ef_c, "probe_recall": round(rec_c, 4),
+              "calibrate_seconds": round(cal_s, 2),
+              "qps": round(n_q / dt, 0),
+              "recall@10": round(recall_of(i_out, gt, k), 4),
+              "platform": platform})
+        g._ef_calib.clear()
+    g._ef_default = None
+
     sq = dev.sq_norms
     f = lambda: exact_topk(qd, dev.vectors, sq, dev.alive, k=k,
                            metric="cosine")
