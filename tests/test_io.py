@@ -332,3 +332,38 @@ def test_appender_async_and_validation():
     bad2 = pa.RecordBatch.from_pydict({"key": [1.5], "vector": [[1.0]]})
     with pytest.raises(ValueError, match="key field"):
         app.append_record(bad2)
+
+
+def test_incremental_reopen_recall_parity(tmp_path):
+    """The delta reopen path (restore structure + insert only the WAL
+    keys) must serve the same quality as a from-scratch build of the
+    full key set — the VERDICT r2 item-4 parity criterion, on a REAL
+    build (the lifecycle benchmark uses synthetic edges, where delta
+    parity is meaningless)."""
+    n, extra, d, k = 400, 40, 16, 10
+    v = make_vectors(n + extra, d, seed=79)
+    q = make_vectors(32, d, seed=80)
+    dg = DiskGraph(str(tmp_path / "dg"), fmt="npz")
+    dg.batch_add(list(range(n)), v[:n])
+    dg.save()
+    dg.wal.discard_logs()
+    for i in range(n, n + extra):
+        dg.graph.add(i, v[i])
+        dg.wal.record_add(i, v[i])
+    dg.wal.flush()
+    dg._stop_flusher.set()  # crash: delta lives only in the WAL
+    g2 = DiskGraph(str(tmp_path / "dg"), fmt="npz")
+    assert len(g2) == n + extra
+    fresh = Graph(seed=0)
+    fresh.batch_add(list(range(n + extra)), v)
+    from hnsw_tpu.ops.topk import np_exact_topk
+    _, gt = np_exact_topk(q, v, k, "cosine")
+
+    def rec(graph):
+        keys, _ = graph.batch_search(q, k, ef=80)
+        return float(np.mean([len(set(row) & set(gt[i])) / k
+                              for i, row in enumerate(keys)]))
+
+    r_inc, r_fresh = rec(g2.graph), rec(fresh)
+    assert r_inc >= r_fresh - 0.05, (r_inc, r_fresh)
+    g2._stop_flusher.set()
