@@ -114,10 +114,14 @@ def main():
     g.entry_mode = "descent"
 
     # ef-autoscale: calibrate_ef installs the cheapest ef meeting the
-    # target, then the default-ef serve rides it (ROADMAP item 4)
+    # target, then the default-ef serve rides it (ROADMAP item 4).
+    # Calibrate on a REAL workload sample — synthesized member-mix
+    # probes under-provision fully-random queries (picked ef=20 for a
+    # 0.9 target and served 0.45, batch22 first run).
     for tgt in (0.9, 0.95):
         t0 = time.perf_counter()
-        ef_c, rec_c = g.calibrate_ef(tgt, k=k, seed=3)
+        ef_c, rec_c = g.calibrate_ef(tgt, k=k, seed=3,
+                                     probe_queries=queries[:64])
         cal_s = time.perf_counter() - t0
         g.batch_search(queries, k)  # warm at the installed ef
         t0 = time.perf_counter()

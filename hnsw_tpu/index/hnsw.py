@@ -600,8 +600,8 @@ class Graph:
     def calibrate_ef(self, target_recall: float, k: int = 10,
                      sample: int = 64, seed: int = 0,
                      ladder: Sequence[int] = (20, 40, 64, 96, 128, 192,
-                                              256, 384, 512, 768, 1024)
-                     ) -> Tuple[int, float]:
+                                              256, 384, 512, 768, 1024),
+                     probe_queries=None) -> Tuple[int, float]:
         """Self-tuning ef: install the smallest ``ef`` whose measured
         recall@k against an exact oracle meets ``target_recall`` as the
         graph's default ``ef_search``, and return
@@ -611,11 +611,15 @@ class Graph:
         routes across tiers; here the tier is fixed and only ef moves) —
         the ef-autoscale policy from ROADMAP item 4: ef must grow with N
         on unstructured data, and a fixed default silently under-serves.
-        Probes are synthesized OFF-node (0.85/0.15 member mix — raw
-        member probes anchor their own basin and overestimate recall;
-        measured 0.687 served for a 0.9 member-calibrated route).
-        Cached per (k, target); re-measured when the graph grows or
-        shrinks by >25%.  If no ladder rung meets the target, the
+        Pass ``probe_queries`` (a sample of the REAL workload) whenever
+        you have one: synthesized probes are OFF-node (0.85/0.15 member
+        mix — raw member probes anchor their own basin) but still sit
+        near the data manifold, so they under-provision adversarial
+        workloads (measured: a 0.9 member-mix calibration picked ef=20
+        and served fully-random 10k x 128 queries at 0.45; calibrating
+        on 64 real queries tracks the target).
+        Cached per (k, target) — skipped when ``probe_queries`` is
+        given; re-measured when the graph grows or shrinks by >25%.  If no ladder rung meets the target, the
         best-measured rung is installed (cheapest on recall ties) and
         its recall returned — callers
         wanting a hard contract should route via
@@ -625,7 +629,8 @@ class Graph:
         key = (int(k), round(float(target_recall), 3))
         n_now = len(self)
         cached = self._ef_calib.get(key)
-        if cached is not None and cached["n"] > 0 \
+        if probe_queries is None and cached is not None \
+                and cached["n"] > 0 \
                 and abs(n_now - cached["n"]) <= 0.25 * cached["n"]:
             self.ef_search = cached["ef"]
             return cached["ef"], cached["recall"]
@@ -634,16 +639,23 @@ class Graph:
         if len(live) == 0:
             return self.ef_search, 1.0
         rng = np.random.default_rng(seed)
-        probe = rng.choice(live, size=min(sample, len(live)),
-                           replace=False)
-        mix = rng.choice(live, size=len(probe))
-        bad = mix == probe
-        if bad.any() and len(live) > 1:
-            pos = {int(v): i for i, v in enumerate(live)}
-            mix[bad] = live[(np.array([pos[int(v)] for v in probe[bad]])
-                             + 1) % len(live)]
-        queries = (0.85 * self.store.get_batch(probe).astype(np.float32)
-                   + 0.15 * self.store.get_batch(mix).astype(np.float32))
+        if probe_queries is not None:
+            queries = np.atleast_2d(
+                np.asarray(probe_queries, np.float32))[:sample]
+        else:
+            probe = rng.choice(live, size=min(sample, len(live)),
+                               replace=False)
+            mix = rng.choice(live, size=len(probe))
+            bad = mix == probe
+            if bad.any() and len(live) > 1:
+                pos = {int(v): i for i, v in enumerate(live)}
+                mix[bad] = live[(np.array([pos[int(v)]
+                                           for v in probe[bad]]) + 1)
+                                % len(live)]
+            queries = (0.85 * self.store.get_batch(probe)
+                       .astype(np.float32)
+                       + 0.15 * self.store.get_batch(mix)
+                       .astype(np.float32))
         gt = self._host_oracle_slots(queries, k)
         gts = [set(map(int, row)) for row in gt]
         total = sum(len(s) for s in gts) or 1

@@ -337,3 +337,28 @@ def test_calibrate_ef_unreachable_target_installs_best():
     ef, rec = g.calibrate_ef(1.01, k=5, sample=32, ladder=(8, 16))
     assert ef in (8, 16) and 0.0 <= rec < 1.01
     assert g.ef_search == ef
+
+
+def test_calibrate_ef_on_real_workload_sample():
+    """probe_queries calibrates against the caller's real workload —
+    the synthesized member-mix probes under-provision adversarial
+    (fully random) queries (batch22: 0.9 target -> ef=20 -> served
+    0.45 at 10k x 128)."""
+    n, d, k = 2000, 64, 10
+    v = make_vectors(n, d, seed=40)
+    g = Graph(metric="cosine", ef_search=10, seed=0)
+    g.build(list(range(n)), v)
+    workload = make_vectors(128, d, seed=41)  # off-manifold queries
+    ef, rec = g.calibrate_ef(0.9, k=k, probe_queries=workload[:64])
+    assert rec >= 0.9
+    # the installed ef must serve the REST of the workload near target
+    keys, _ = g.batch_search(workload[64:], k)
+    from hnsw_tpu.ops.topk import np_exact_topk
+    _, gt = np_exact_topk(workload[64:], v, k, "cosine")
+    served = recall_at_k(keys, gt, k)
+    assert served >= 0.8, f"served {served} far below calibrated 0.9"
+    # member-mix calibration on the same graph picks a smaller ef
+    g2 = Graph(metric="cosine", ef_search=10, seed=0)
+    g2.build(list(range(n)), v)
+    ef_mix, _ = g2.calibrate_ef(0.9, k=k)
+    assert ef_mix <= ef
