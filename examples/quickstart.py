@@ -9,6 +9,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the container sitecustomize force-registers the TPU backend; the
+    # env var alone is not honored (see CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 from hnsw_tpu import Graph, SavedGraph
@@ -38,6 +44,17 @@ def main():
     # negative-example search: demote results similar to a negative
     res = g.search_with_negative(queries[0], docs[7], k=5, neg_weight=0.7)
     print("negative-weighted:", res[:3])
+
+    # self-tuning ef: state a recall target instead of guessing ef.
+    # Pass a sample of YOUR workload — synthesized probes under-provision
+    # adversarial query distributions.
+    ef, measured = g.calibrate_ef(0.9, k=5, probe_queries=queries[:64])
+    print(f"calibrated ef={ef} (probe recall {measured:.3f}); "
+          "default searches now use it")
+
+    # latency tier: batches <= native_serve_max_batch answer from the
+    # first-party C++ engine on host arrays — sub-ms p50, no device RTT
+    print("single query (native tier):", g.search(queries[0], 3)[:1])
 
     # persistence with atomic checkpoints
     sg = SavedGraph(g, "/tmp/quickstart_graph.npz")
