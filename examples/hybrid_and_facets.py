@@ -9,6 +9,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # sitecustomize force-registers the TPU backend; the env
+    # var alone is not honored (see CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 from hnsw_tpu import (AdaptiveHybridIndex, EqualityFilter, Facet,
