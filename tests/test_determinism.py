@@ -129,3 +129,58 @@ def test_hash_visited_path_large_cap():
     for i, t in enumerate(targets):
         assert ids[i, 0] == t, (t, ids[i])
         assert set(ids[i]).issubset(set(range(t - 8, t + 9)))
+
+
+def test_random_op_fuzz_with_checkpoints(tmp_path):
+    """Model-based fuzz: a seeded random interleaving of batch adds,
+    duplicate overwrites, deletes, batch deletes, searches, and
+    checkpoint round-trips must keep the graph consistent with a plain
+    dict model at every step (extends test_mixed_ops_stay_consistent
+    with bulk ops and mid-sequence persistence)."""
+    from hnsw_tpu import load_graph, save_graph
+
+    rng = np.random.default_rng(321)
+    d = 10
+    pool = rng.standard_normal((800, d)).astype(np.float32)
+    g = Graph(seed=0)
+    model = {}
+    next_key = 0
+    path = str(tmp_path / "fuzz.npz")
+    for step in range(60):
+        op = int(rng.integers(0, 6))
+        if op == 0 and next_key < 700:      # batch add
+            nb = int(rng.integers(1, 40))
+            ks = list(range(next_key, min(next_key + nb, 700)))
+            g.batch_add(ks, pool[ks])
+            model.update({kk: kk for kk in ks})
+            next_key = ks[-1] + 1
+        elif op == 1 and model:             # duplicate overwrite
+            kk = int(rng.choice(list(model)))
+            g.add(kk, pool[(kk + 13) % 800])
+            model[kk] = (kk + 13) % 800
+        elif op == 2 and len(model) > 5:    # single delete
+            kk = int(rng.choice(list(model)))
+            assert g.delete(kk)
+            del model[kk]
+        elif op == 3 and len(model) > 20:   # batch delete
+            ks = [int(x) for x in
+                  rng.choice(list(model), size=5, replace=False)]
+            out = g.batch_delete(ks)
+            assert all(out)
+            for kk in ks:
+                del model[kk]
+        elif op == 4 and model:             # checkpoint round-trip
+            save_graph(g, path)
+            g = load_graph(path)
+        else:                               # search
+            q = rng.standard_normal(d).astype(np.float32)
+            res = g.search(q, 5)
+            assert all(k in model for k, _ in res)
+            assert len(res) == min(5, len(model))
+        assert len(g) == len(model)
+    # every surviving key resolves to its model vector and is its own NN
+    for kk in list(model)[:20]:
+        row = g.lookup(kk)
+        np.testing.assert_allclose(row, pool[model[kk]], rtol=1e-6)
+        hit = g.search(pool[model[kk]], 1)[0]
+        assert hit[0] == kk and hit[1] < 1e-4
