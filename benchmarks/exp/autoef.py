@@ -16,6 +16,9 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
 OUT = os.path.join(os.path.dirname(__file__), "..", "results_tpu_r3.jsonl")
 
 
