@@ -37,12 +37,23 @@ class ExactIndex:
     """
 
     def __init__(self, dim: Optional[int] = None, metric: str = "cosine",
-                 fast_math: bool = False):
+                 fast_math: bool = False, hbm_dtype: str = "float32"):
         self.metric = canonical_metric(metric)
         self.slots = SlotMap()
         self.store = HostVectorStore(dim)
         self._dev: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None
         self._dirty = True
+        #: CAPACITY mode: the device table is stored reduced-precision —
+        #: "bf16" (2 bytes/dim, ~20M x 128 per 16 GB chip, ranking
+        #: fidelity ~f32 after the f32 host rerank) or "int8" (1
+        #: byte/dim, ~40M x 128 per chip; per-row scales; NOT for
+        #: tightly clustered data — same physics as the int8
+        #: neighbor-block finding, core/state._int8_block_fit).  The
+        #: scan nominates k+margin candidates, one batched host fetch
+        #: restores exact f32 ordering (utils/rerank.host_rerank).
+        if hbm_dtype not in ("float32", "bf16", "int8"):
+            raise ValueError(f"bad hbm_dtype {hbm_dtype!r}")
+        self.hbm_dtype = hbm_dtype
         #: bf16 MXU scan with f32 rerank of the winners (2x serving
         #: throughput; exact final ordering up to pool membership).
         #: f32 HIGHEST stays the ground-truth default.
@@ -92,14 +103,34 @@ class ExactIndex:
         if self._dirty or self._dev is None:
             n = self.slots.capacity_used
             n_pad = max(_bucket(n, 8), 8)
-            v = np.zeros((n_pad, self.store.dim), np.float32)
             sq = np.zeros((n_pad,), np.float32)
             alive = np.zeros((n_pad,), bool)
             if n:
-                v[:n] = self.store.vectors[:n]
                 sq[:n] = self.store.sq_norms[:n]
                 alive[:n] = self.store.alive[:n]
-            self._dev = (jnp.asarray(v), jnp.asarray(sq), jnp.asarray(alive))
+            scales = None
+            if self.hbm_dtype == "int8":
+                v = np.zeros((n_pad, self.store.dim), np.int8)
+                scales = np.zeros((n_pad,), np.float32)
+                if n:
+                    rows = self.store.vectors[:n]
+                    amax = np.max(np.abs(rows), axis=1)
+                    s = np.where(amax > 0, amax / 127.0, 1.0)
+                    v[:n] = np.clip(np.rint(rows / s[:, None]),
+                                    -127, 127).astype(np.int8)
+                    scales[:n] = s.astype(np.float32)
+                scales = jnp.asarray(scales)
+            else:
+                v = np.zeros((n_pad, self.store.dim), np.float32)
+                if n:
+                    v[:n] = self.store.vectors[:n]
+                if self.hbm_dtype == "bf16":
+                    # cast on HOST (ml_dtypes) so the f32 table never
+                    # transits HBM — the whole point of the mode
+                    import ml_dtypes
+                    v = v.astype(ml_dtypes.bfloat16)
+            self._dev = (jnp.asarray(v), jnp.asarray(sq),
+                         jnp.asarray(alive), scales)
             self._dirty = False
         return self._dev
 
@@ -118,11 +149,31 @@ class ExactIndex:
         if (0 < queries.shape[0] <= self.host_serve_max_batch
                 and n_used <= self.host_serve_max_rows):
             return self._host_search_slots(queries, k)
-        v, sq, alive = self._sync()
+        v, sq, alive, scales = self._sync()
         nq = queries.shape[0]
         q_pad = _bucket(nq)
         if q_pad != nq:
             queries = np.pad(queries, ((0, q_pad - nq), (0, 0)))
+        if self.hbm_dtype != "float32":
+            # capacity mode: reduced-precision scan nominates k+margin
+            # candidates; one batched host fetch restores exact f32
+            # ordering. int8 needs the wider margin (global per-row
+            # scale cannot rank close ties — state._int8_block_fit).
+            from hnsw_tpu.ops.topk import quantized_topk_candidates
+            from hnsw_tpu.utils.rerank import host_rerank
+            margin = max(16, k // 2) if self.hbm_dtype == "int8" \
+                else max(4, k // 8)
+            kk = min(k + margin, v.shape[0])
+            d_cand, i_cand = quantized_topk_candidates(
+                jnp.asarray(queries), v, scales, sq, alive,
+                kk=kk, metric=self.metric)
+            # INF-dist rows are dead/padded fillers from approx_min_k —
+            # mask them so the f32 rerank cannot resurrect them (same
+            # guard as exact_topk's fast path)
+            cand = np.where(np.asarray(d_cand[:nq]) >= INF_DIST, -1,
+                            np.asarray(i_cand[:nq], np.int64))
+            return host_rerank(self.store, self.metric, queries[:nq],
+                               cand, k)
         # Pallas fused kernel wins at large N on TPU (measured 1.4x at
         # 100k x 128: the score matrix never reaches HBM); XLA HIGHEST
         # stays the ground-truth path at small N / large k / CPU.

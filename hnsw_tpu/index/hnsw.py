@@ -526,32 +526,8 @@ class Graph:
         """Exact f32 rerank of per-query candidate slots against the
         host/disk store (one batched fetch — the GetVectorsBatch role,
         parquet/vector_ops.go:321-432)."""
-        nq, R = cand.shape
-        safe = np.clip(cand, 0, max(self.store.capacity - 1, 0))
-        rows = self.store.get_batch(safe.reshape(-1)).reshape(nq, R, -1)
-        qf = np.asarray(queries, np.float32)
-        qv = np.einsum("qd,qrd->qr", qf, rows.astype(np.float32))
-        c_sq = self.store.sq_norms[safe]
-        if self.metric == "dot":
-            d = -qv
-        elif self.metric == "cosine":
-            q_sq = np.sum(qf * qf, axis=-1)
-            d = 1.0 - qv / np.sqrt(q_sq[:, None] * c_sq + 1e-30)
-        else:
-            q_sq = np.sum(qf * qf, axis=-1)
-            d = np.maximum(q_sq[:, None] + c_sq - 2.0 * qv, 0.0)
-            if self.metric == "l2":
-                d = np.sqrt(d)
-        d = np.where(cand >= 0, d, INF_DIST).astype(np.float32)
-        order = np.argsort(d, axis=1, kind="stable")[:, :k]
-        dk = np.take_along_axis(d, order, axis=1)
-        ik = np.take_along_axis(cand, order, axis=1).astype(np.int64)
-        if k > dk.shape[1]:
-            pad = k - dk.shape[1]
-            dk = np.pad(dk, ((0, 0), (0, pad)), constant_values=INF_DIST)
-            ik = np.pad(ik, ((0, 0), (0, pad)), constant_values=-1)
-        ik = np.where(dk >= INF_DIST, -1, ik)
-        return dk, ik
+        from hnsw_tpu.utils.rerank import host_rerank
+        return host_rerank(self.store, self.metric, queries, cand, k)
 
     def batch_search(self, queries, k: int, ef: Optional[int] = None
                      ) -> Tuple[List[List[Any]], np.ndarray]:

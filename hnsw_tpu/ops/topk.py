@@ -187,3 +187,84 @@ def np_exact_topk(queries: np.ndarray, vectors: np.ndarray, k: int,
     dd = np.take_along_axis(d, idx, axis=1)
     order = np.argsort(dd, axis=1, kind="stable")
     return np.take_along_axis(dd, order, axis=1), np.take_along_axis(idx, order, axis=1)
+
+
+def quantized_topk_candidates(queries: jnp.ndarray, table: jnp.ndarray,
+                              scales: "jnp.ndarray | None",
+                              v_sq: jnp.ndarray, valid: jnp.ndarray,
+                              kk: int, metric: str = "cosine",
+                              chunk: int = 65536
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate top-kk candidate scan over a reduced-precision HBM
+    table — the exact tier's CAPACITY mode (ExactIndex hbm_dtype).
+
+    ``table`` is [N, D] bfloat16 (scales=None) or int8 with per-row
+    ``scales`` [N] f32 such that row_f32 ~= row_int8 * scale.  int8 rows
+    are dequantized to bf16 per chunk ON DEVICE (a transient [chunk, D]
+    tile) so HBM holds 1 byte/dim while the matmul still rides the bf16
+    MXU path; ``v_sq`` keeps the EXACT f32 squared norms (4 bytes/row),
+    so cosine/l2 epilogues use true norms with approximate dot products.
+
+    Returns (approx_dists [Q, kk], indices [Q, kk]); callers restore
+    exact ordering by reranking the kk winners in f32 against the host
+    store (utils/rerank.host_rerank).  Selection per chunk uses the
+    hardware-binned ``approx_min_k`` on TPU (the exact-TopK extraction
+    passes dominate chunked scans — select1m rows).
+    """
+    n = table.shape[0]
+    q = queries.astype(jnp.float32)
+    q_sq = jnp.sum(q * q, axis=-1)
+    q_bf = q.astype(jnp.bfloat16)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    from hnsw_tpu.ops.distance import _epilogue
+
+    def score(tab, sc, sq, vld):
+        gram = jax.lax.dot_general(
+            q_bf, tab.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if sc is not None:
+            gram = gram * sc[None, :]
+        d = _epilogue(metric, gram, q_sq, sq)
+        return jnp.where(vld[None, :], d, INF_DIST)
+
+    def select(d, m):
+        if on_tpu:
+            return jax.lax.approx_min_k(d, m, recall_target=0.95)
+        return topk_smallest(d, m)
+
+    kk = min(kk, n)
+    if n <= chunk:
+        d = score(table, scales, v_sq, valid)
+        return select(d, kk)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    pad = n_pad - n
+    tab = jnp.pad(table, ((0, pad), (0, 0)))
+    sq = jnp.pad(v_sq, (0, pad))
+    vld = jnp.pad(valid, (0, pad), constant_values=False)
+    sc = None if scales is None else jnp.pad(scales, (0, pad))
+    n_chunks = n_pad // chunk
+    m = min(kk, chunk)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    tab = tab.reshape(n_chunks, chunk, -1)
+    sq = sq.reshape(n_chunks, chunk)
+    vld = vld.reshape(n_chunks, chunk)
+    sc = None if sc is None else sc.reshape(n_chunks, chunk)
+
+    def body(_, xs):
+        if sc is None:
+            t, s, v, base = xs
+            d = score(t, None, s, v)
+        else:
+            t, c, s, v, base = xs
+            d = score(t, c, s, v)
+        dm, im = select(d, m)
+        return 0, (dm, im + base)
+
+    xs = (tab, sq, vld, bases) if sc is None else (tab, sc, sq, vld, bases)
+    _, (dms, ims) = jax.lax.scan(body, 0, xs)
+    d_all = jnp.moveaxis(dms, 0, 1).reshape(q.shape[0], -1)
+    i_all = jnp.moveaxis(ims, 0, 1).reshape(q.shape[0], -1)
+    dk, pos = select(d_all, min(kk, d_all.shape[1]))
+    ik = jnp.take_along_axis(i_all, pos, axis=1)
+    return dk, ik

@@ -147,3 +147,48 @@ def test_fast_math_does_not_resurrect_masked_rows():
         got = {int(x) for x in ii if x >= 0}
         assert got <= set(allowed), (fast, ii)
         assert int(ii[0]) == 200
+
+
+@pytest.mark.parametrize("hbm_dtype", ["bf16", "int8"])
+def test_capacity_mode_matches_oracle(hbm_dtype):
+    """hbm_dtype stores the device table reduced-precision; the f32
+    host rerank must restore exact ordering and exact distances for
+    the returned keys (random data; int8's global per-row scale ranks
+    spread-out data fine — clustered data is the documented exception,
+    core/state._int8_block_fit physics)."""
+    n, d, k = 3000, 32, 10
+    v = make_vectors(n, d, seed=50)
+    q = make_vectors(64, d, seed=51)
+    idx = ExactIndex(metric="cosine", hbm_dtype=hbm_dtype)
+    idx.batch_add(list(range(n)), v)
+    idx.host_serve_max_batch = 0     # force the device capacity path
+    keys, dists = idx.batch_search(q, k)
+    gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
+    rec = np.mean([len(set(keys[r]) & set(gt_i[r])) / k
+                   for r in range(len(q))])
+    floor = 0.99 if hbm_dtype == "bf16" else 0.95
+    assert rec >= floor, f"{hbm_dtype} recall {rec}"
+    # distances for returned keys are EXACT f32 (host rerank), so any
+    # key shared with the oracle must carry the oracle's distance
+    for r in range(8):
+        gmap = {int(i): float(dd) for i, dd in zip(gt_i[r], gt_d[r])}
+        for kk_, dd in zip(keys[r], dists[r]):
+            if kk_ in gmap:
+                np.testing.assert_allclose(dd, gmap[kk_], rtol=1e-4)
+
+
+def test_capacity_mode_delete_and_dead_rows():
+    n, d, k = 500, 16, 5
+    v = make_vectors(n, d, seed=52)
+    idx = ExactIndex(metric="l2", hbm_dtype="int8")
+    idx.batch_add(list(range(n)), v)
+    idx.host_serve_max_batch = 0
+    for dead in range(0, 100):
+        idx.delete(dead)
+    keys, dists = idx.batch_search(v[:32], k)
+    flat = {kk for row in keys for kk in row}
+    assert not (flat & set(range(100))), "deleted keys returned"
+    # self-NN for live rows survives quantization + rerank
+    keys2, d2 = idx.batch_search(v[200:208], 1)
+    assert [row[0] for row in keys2] == list(range(200, 208))
+    assert np.all(np.asarray(d2) < 1e-3)
