@@ -65,25 +65,37 @@ def main():
     kq, key = jax.random.split(key)
     q = jax.random.normal(kq, (B, d), jnp.float32)
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def make_chunk(ck):
         v = jax.random.normal(ck, (CHUNK, d), jnp.float32)
         sq = jnp.sum(v * v, axis=-1)
-        amax = jnp.max(jnp.abs(v), axis=-1)
-        s = jnp.where(amax > 0, amax / 127.0, 1.0)
-        q8 = jnp.clip(jnp.round(v / s[:, None]), -127, 127
-                      ).astype(jnp.int8)
-        bf = v.astype(jnp.bfloat16)
-        return v, sq, s, q8, bf
+        if dtype == "int8":
+            amax = jnp.max(jnp.abs(v), axis=-1)
+            s = jnp.where(amax > 0, amax / 127.0, 1.0)
+            tab = jnp.clip(jnp.round(v / s[:, None]), -127, 127
+                           ).astype(jnp.int8)
+        else:
+            s = jnp.zeros((CHUNK,), jnp.float32)
+            tab = v.astype(jnp.bfloat16)
+        return v, sq, s, tab
 
+    # Preallocate the table ONCE and place chunks with a DONATED
+    # dynamic_update_slice — a 512-operand concatenate tree-copies and
+    # OOMs (first int8 run: RESOURCE_EXHAUSTED at the concat).
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def place(table, chunk, row0):
+        return jax.lax.dynamic_update_slice(table, chunk, (row0, 0))
+
+    table = jnp.zeros((n, d),
+                      jnp.int8 if dtype == "int8" else jnp.bfloat16)
     alive_c = jnp.ones((CHUNK,), bool)
     gt_d = np.full((B, k), np.inf, np.float32)
     gt_i = np.full((B, k), -1, np.int64)
-    tabs, sqs, scs = [], [], []
+    sqs, scs = [], []
     t0 = time.perf_counter()
     for c in range(n_chunks):
         ck, key = jax.random.split(key)
-        v, sq, s, q8, bf = make_chunk(ck)
+        v, sq, s, tab = make_chunk(ck)
         dd, ii = exact_topk(q, v, sq, alive_c, k=k, metric="cosine")
         dd = np.asarray(dd)
         ii = np.asarray(ii) + c * CHUNK
@@ -92,16 +104,15 @@ def main():
         part = np.argpartition(cat_d, k - 1, axis=1)[:, :k]
         gt_d = np.take_along_axis(cat_d, part, axis=1)
         gt_i = np.take_along_axis(cat_i, part, axis=1)
-        tabs.append(q8 if dtype == "int8" else bf)
-        sqs.append(sq)
-        scs.append(s)
+        table = place(table, tab, c * CHUNK)
+        sqs.append(np.asarray(sq))
+        scs.append(np.asarray(s))
         if c % 64 == 0:
             print(f"# chunk {c}/{n_chunks} @ "
                   f"{time.perf_counter() - t0:.0f}s", flush=True)
-    table = jnp.concatenate(tabs, axis=0)
-    del tabs
-    v_sq = jnp.concatenate(sqs, axis=0)
-    scales = jnp.concatenate(scs, axis=0) if dtype == "int8" else None
+    v_sq = jnp.asarray(np.concatenate(sqs))
+    scales = jnp.asarray(np.concatenate(scs)) if dtype == "int8" \
+        else None
     alive = jnp.ones((n,), bool)
     emit({"op": "exactBig", "dtype": dtype, "n": n, "B": B,
           "stage": "gen_plus_gt", "seconds":

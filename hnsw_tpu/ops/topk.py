@@ -265,6 +265,10 @@ def quantized_topk_candidates(queries: jnp.ndarray, table: jnp.ndarray,
     _, (dms, ims) = jax.lax.scan(body, 0, xs)
     d_all = jnp.moveaxis(dms, 0, 1).reshape(q.shape[0], -1)
     i_all = jnp.moveaxis(ims, 0, 1).reshape(q.shape[0], -1)
-    dk, pos = select(d_all, min(kk, d_all.shape[1]))
+    # final select over the stacked winners is EXACT: the matrix is
+    # n_chunks*m wide (thousands, not millions), so one true top_k is
+    # cheap here and stops approx misses compounding across the two
+    # selection stages (bf16 20M first run: .983 with approx-final)
+    dk, pos = topk_smallest(d_all, min(kk, d_all.shape[1]))
     ik = jnp.take_along_axis(i_all, pos, axis=1)
     return dk, ik
