@@ -45,7 +45,8 @@ class HybridIndex:
         self.cfg = config or HybridConfig(**kw)
         self.cfg.validate()
         self.exact = ExactIndex(metric=self.cfg.metric,
-                                fast_math=self.cfg.fast_exact)
+                                fast_math=self.cfg.fast_exact,
+                                hbm_dtype=self.cfg.exact_hbm_dtype)
         self.graph = Graph(m=self.cfg.m, ml=self.cfg.ml,
                            ef_search=self.cfg.ef_search,
                            metric=self.cfg.metric, seed=self.cfg.seed)
