@@ -229,6 +229,15 @@ def main():
     emit({"config": "batch_delete", "metric": "recall_after_refine",
           "value": round(recall_of(keys, gt3_keys, k), 4),
           "platform": platform})
+    # second repair in the same process = the STEADY-STATE cost (the
+    # first pays one-time remote kernel compiles through the relay)
+    dele2 = list(range(1, n, 4))
+    t0 = time.perf_counter()
+    g3b.batch_delete(dele2, refine=True)
+    emit({"config": "batch_delete", "metric": "delete_refine_seconds_warm",
+          "n_deleted": len(dele2),
+          "value": round(time.perf_counter() - t0, 2),
+          "platform": platform})
 
     # ---- config 4: adaptive hybrid (batched strategy-grouped dispatch) ----
     a = AdaptiveHybridIndex(hybrid_config=HybridConfig(exact_threshold=500))
