@@ -81,6 +81,63 @@ def sharded_exact_topk(queries: jnp.ndarray, vectors: jnp.ndarray,
     return jax.jit(f)(queries, vectors, v_sq, valid)
 
 
+def sharded_quantized_candidates(queries: jnp.ndarray,
+                                 table: jnp.ndarray,
+                                 scales: "jnp.ndarray | None",
+                                 v_sq: jnp.ndarray, valid: jnp.ndarray,
+                                 *, kk: int, metric: str = "cosine",
+                                 mesh: Mesh, axis: str = "data"
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-sharded CAPACITY-mode scan: each device scans its own
+    reduced-precision shard (bf16 table with scales=None, or int8 with
+    per-row scales — ops/topk.quantized_topk_candidates), nominates kk
+    local candidates, and an all-gather + exact merge returns the
+    global kk.  At 33.5M int8 rows per 16 GB chip (measured single-chip,
+    exactBig rows) a v5e-8 slice holds ~268M vectors; the caller
+    restores exact f32 ordering with ONE host rerank of the merged pool
+    (utils/rerank.host_rerank), exactly as in the single-chip mode.
+    Returned indices are GLOBAL row ids; rows must divide evenly by the
+    mesh size (pad with valid=False rows)."""
+    from hnsw_tpu.ops.topk import quantized_topk_candidates
+    metric = canonical_metric(metric)
+    n_local = table.shape[0] // mesh.shape[axis]
+    kk = min(kk, n_local)
+
+    def merge(q_n, d, i):
+        dg = jax.lax.all_gather(d, axis)
+        ig = jax.lax.all_gather(i, axis)
+        dd = jnp.moveaxis(dg, 0, 1).reshape(q_n, -1)
+        ii = jnp.moveaxis(ig, 0, 1).reshape(q_n, -1)
+        dk, pos = topk_smallest(dd, kk)
+        ik = jnp.take_along_axis(ii, pos, axis=1)
+        return dk, jnp.where(dk >= INF_DIST, -1, ik)
+
+    if scales is None:
+        def local(q, t, sq, vd):
+            d, i = quantized_topk_candidates(q, t, None, sq, vd,
+                                             kk=kk, metric=metric)
+            shard = jax.lax.axis_index(axis)
+            i = jnp.where(i >= 0, i + shard * n_local, -1)
+            return merge(q.shape[0], d, i)
+
+        f = jax.shard_map(local, mesh=mesh,
+                          in_specs=(P(), P(axis), P(axis), P(axis)),
+                          out_specs=(P(), P()), check_vma=False)
+        return jax.jit(f)(queries, table, v_sq, valid)
+
+    def local(q, t, sc, sq, vd):
+        d, i = quantized_topk_candidates(q, t, sc, sq, vd,
+                                         kk=kk, metric=metric)
+        shard = jax.lax.axis_index(axis)
+        i = jnp.where(i >= 0, i + shard * n_local, -1)
+        return merge(q.shape[0], d, i)
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                      out_specs=(P(), P()), check_vma=False)
+    return jax.jit(f)(queries, table, scales, v_sq, valid)
+
+
 def sharded_graph_search(g: DeviceGraph, queries: jnp.ndarray, *, k: int,
                          ef: int, metric: str = "cosine",
                          max_hops: int = 128, mesh: Mesh,

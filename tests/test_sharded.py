@@ -318,3 +318,41 @@ def test_multihost_raises_when_failures_reach_replica_count():
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)
             mh.batch_search(v[:8], 1)
+
+
+def test_sharded_quantized_candidates_int8_and_bf16():
+    """Row-sharded capacity-mode scan: per-shard reduced-precision
+    candidates + global merge must contain the true top-k (the host
+    rerank then restores exact ordering, as in the single-chip mode)."""
+    import ml_dtypes
+    from hnsw_tpu.parallel.sharded import sharded_quantized_candidates
+
+    n, d, k, kk = 4096, 32, 10, 26
+    rng = np.random.default_rng(60)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((32, d)).astype(np.float32)
+    sq = np.sum(v.astype(np.float64) * v, axis=1).astype(np.float32)
+    _, gt = np_exact_topk(q, v, k, "cosine")
+    mesh = default_mesh()
+    alive = jnp.ones((n,), bool)
+
+    # int8 shards with per-row scales
+    amax = np.max(np.abs(v), axis=1)
+    s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    v8 = np.clip(np.rint(v / s[:, None]), -127, 127).astype(np.int8)
+    dq, iq = sharded_quantized_candidates(
+        jnp.asarray(q), jnp.asarray(v8), jnp.asarray(s),
+        jnp.asarray(sq), alive, kk=kk, metric="cosine", mesh=mesh)
+    iq = np.asarray(iq)
+    rec = np.mean([len(set(iq[r]) & set(gt[r])) / k for r in range(32)])
+    assert rec >= 0.95, f"int8 containment {rec}"
+
+    # bf16 shards (scales=None path)
+    db, ib = sharded_quantized_candidates(
+        jnp.asarray(q), jnp.asarray(v.astype(ml_dtypes.bfloat16)), None,
+        jnp.asarray(sq), alive, kk=k + 4, metric="cosine", mesh=mesh)
+    ib = np.asarray(ib)
+    rec = np.mean([len(set(ib[r]) & set(gt[r])) / k for r in range(32)])
+    assert rec >= 0.99, f"bf16 containment {rec}"
+    # global ids: every id in range, none from padded space
+    assert int(ib.max()) < n and int(iq.max()) < n
