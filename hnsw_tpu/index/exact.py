@@ -51,9 +51,16 @@ class ExactIndex:
         #: neighbor-block finding, core/state._int8_block_fit).  The
         #: scan nominates k+margin candidates, one batched host fetch
         #: restores exact f32 ordering (utils/rerank.host_rerank).
-        if hbm_dtype not in ("float32", "bf16", "int8"):
+        #: "auto" walks the fidelity ladder int8 -> bf16 -> float32
+        #: with a full-density, arithmetic-faithful containment check
+        #: (_reduced_fit) — clustered embeddings fall to the first rung
+        #: that can actually rank them.
+        if hbm_dtype not in ("float32", "bf16", "int8", "auto"):
             raise ValueError(f"bad hbm_dtype {hbm_dtype!r}")
         self.hbm_dtype = hbm_dtype
+        self._resolved_hbm = hbm_dtype
+        self._hbm_fit_cache: Optional[Tuple[str, int]] = None
+        self._muts_since_fit = 0          # vectors changed since check
         #: bf16 MXU scan with f32 rerank of the winners (2x serving
         #: throughput; exact final ordering up to pool membership).
         #: f32 HIGHEST stays the ground-truth default.
@@ -71,6 +78,7 @@ class ExactIndex:
     def add(self, key: Hashable, vector) -> None:
         slot, _ = self.slots.assign(key)
         self.store.put(slot, np.asarray(vector, np.float32))
+        self._muts_since_fit += 1
         self._dirty = True
 
     def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
@@ -79,6 +87,7 @@ class ExactIndex:
             raise ValueError("keys/vectors length mismatch")
         slot_list = [self.slots.assign(k)[0] for k in keys]
         self.store.put_batch(np.asarray(slot_list, np.int64), vectors)
+        self._muts_since_fit += len(keys)
         self._dirty = True
 
     def delete(self, key: Hashable) -> bool:
@@ -99,9 +108,93 @@ class ExactIndex:
         self._dev = None
 
     # -- search ------------------------------------------------------------
+    def _reduced_fit(self, rows: np.ndarray, quant: str,
+                     probes: int = 32, k: int = 10) -> float:
+        """CONTAINMENT of the true f32 top-k inside the quantized scan's
+        k+margin candidate pool, for off-node probes against the FULL
+        table — exactly the quantity the capacity mode needs (the f32
+        rerank fixes ordering but cannot recover candidates the
+        quantized scan never nominated).  Full density: subsampling
+        false-passes (core/state.py:124).  Off-node 0.85/0.15 member-mix
+        probes: raw members anchor their own neighborhood and a 0.93
+        member-overlap fit served real queries at 0.24 (first auto-rung
+        attempt).  The bf16 rung matters: on EXTREMELY tight clusters
+        even bf16's ~8 mantissa bits drown within-cluster separations,
+        so "auto" must be able to fall all the way back to float32."""
+        n = rows.shape[0]
+        if n < 4 * k:
+            return 1.0
+        import ml_dtypes
+        rng = np.random.default_rng(0)
+        a = rng.choice(n, probes, replace=False)
+        b = rng.choice(n, probes)
+        b = np.where(b == a, (b + 1) % n, b)
+        pr = (0.85 * rows[a] + 0.15 * rows[b]).astype(np.float32)
+        if quant == "int8":
+            amax = np.max(np.abs(rows), axis=1)
+            s = np.where(amax > 0, amax / 127.0, 1.0)
+            qr = (np.clip(np.rint(rows / s[:, None]), -127, 127)
+                  .astype(np.int8).astype(np.float32) * s[:, None])
+            kk = k + max(16, k // 2)
+        else:
+            qr = rows.astype(np.float32)
+            kk = k + max(4, k // 8)
+        # model the DEVICE scan's arithmetic, not an idealized f32
+        # dequant: both matmul operands are rounded to bf16 (int8 rows
+        # are dequantized to bf16 on device) with f32 accumulation, and
+        # the epilogue uses the EXACT stored sq norms.  An f32-dequant
+        # check passed data the bf16 MXU path then served at 0.12-0.74.
+        qr = qr.astype(ml_dtypes.bfloat16).astype(np.float32)
+        prq = pr.astype(ml_dtypes.bfloat16).astype(np.float32)
+        qv = prq @ qr.T
+        sq = np.sum(rows.astype(np.float64) * rows, axis=1
+                    ).astype(np.float32)
+        p_sq = np.sum(pr * pr, axis=-1)
+        if self.metric == "dot":
+            dq = -qv
+        elif self.metric == "cosine":
+            dq = 1.0 - qv / np.sqrt(p_sq[:, None] * sq[None, :] + 1e-30)
+        else:
+            dq = np.maximum(p_sq[:, None] + sq[None, :] - 2.0 * qv, 0.0)
+        kk = min(kk, n)
+        qt = np.argpartition(dq, kk - 1, axis=1)[:, :kk]
+        from hnsw_tpu.ops.topk import np_exact_topk
+        _, gt = np_exact_topk(pr, rows, k, self.metric)
+        hits = sum(len(set(gt[r]) & set(qt[r])) for r in range(probes))
+        return hits / (probes * k)
+
+    def _resolve_hbm_dtype(self, n: int) -> str:
+        """Resolve "auto" once per data regime (re-checked when the
+        index doubles/halves): full-density ranking-fidelity checks,
+        int8 -> bf16 -> float32 (first rung scoring >= 0.99 wins)."""
+        if self.hbm_dtype != "auto":
+            return self.hbm_dtype
+        c = self._hbm_fit_cache
+        if (c is not None and c[1] <= 2 * n and n <= 2 * c[1]
+                and self._muts_since_fit <= 0.25 * c[1]):
+            return c[0]
+        rows = self.store.vectors[:n]
+        # 0.99 containment floor: the exact tier's contract is
+        # near-perfect recall.  Measured ladder (4000 x 32 clusters):
+        # 0.9 admitted data served at 0.24-0.70; 0.98 admitted a
+        # 0.984-fit int8 that served 0.963 and a 0.978-fit bf16 that
+        # served 0.928 (bf16's k+4 margin is TIGHTER than int8's k+16,
+        # so its boundary bites earlier).  Borderline data costs f32
+        # capacity rather than recall.
+        if self._reduced_fit(rows, "int8") >= 0.99:
+            dt = "int8"
+        elif self._reduced_fit(rows, "bf16") >= 0.99:
+            dt = "bf16"
+        else:
+            dt = "float32"
+        self._hbm_fit_cache = (dt, n)
+        self._muts_since_fit = 0
+        return dt
+
     def _sync(self):
         if self._dirty or self._dev is None:
             n = self.slots.capacity_used
+            self._resolved_hbm = self._resolve_hbm_dtype(n)
             n_pad = max(_bucket(n, 8), 8)
             sq = np.zeros((n_pad,), np.float32)
             alive = np.zeros((n_pad,), bool)
@@ -109,7 +202,7 @@ class ExactIndex:
                 sq[:n] = self.store.sq_norms[:n]
                 alive[:n] = self.store.alive[:n]
             scales = None
-            if self.hbm_dtype == "int8":
+            if self._resolved_hbm == "int8":
                 v = np.zeros((n_pad, self.store.dim), np.int8)
                 scales = np.zeros((n_pad,), np.float32)
                 if n:
@@ -124,7 +217,7 @@ class ExactIndex:
                 v = np.zeros((n_pad, self.store.dim), np.float32)
                 if n:
                     v[:n] = self.store.vectors[:n]
-                if self.hbm_dtype == "bf16":
+                if self._resolved_hbm == "bf16":
                     # cast on HOST (ml_dtypes) so the f32 table never
                     # transits HBM — the whole point of the mode
                     import ml_dtypes
@@ -154,14 +247,14 @@ class ExactIndex:
         q_pad = _bucket(nq)
         if q_pad != nq:
             queries = np.pad(queries, ((0, q_pad - nq), (0, 0)))
-        if self.hbm_dtype != "float32":
+        if self._resolved_hbm != "float32":
             # capacity mode: reduced-precision scan nominates k+margin
             # candidates; one batched host fetch restores exact f32
             # ordering. int8 needs the wider margin (global per-row
             # scale cannot rank close ties — state._int8_block_fit).
             from hnsw_tpu.ops.topk import quantized_topk_candidates
             from hnsw_tpu.utils.rerank import host_rerank
-            margin = max(16, k // 2) if self.hbm_dtype == "int8" \
+            margin = max(16, k // 2) if self._resolved_hbm == "int8" \
                 else max(4, k // 8)
             kk = min(k + margin, v.shape[0])
             d_cand, i_cand = quantized_topk_candidates(

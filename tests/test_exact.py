@@ -192,3 +192,55 @@ def test_capacity_mode_delete_and_dead_rows():
     keys2, d2 = idx.batch_search(v[200:208], 1)
     assert [row[0] for row in keys2] == list(range(200, 208))
     assert np.all(np.asarray(d2) < 1e-3)
+
+
+def test_capacity_mode_auto_resolves_by_data():
+    """hbm_dtype="auto" walks the fidelity ladder int8 -> bf16 ->
+    float32: spread-out data keeps int8; clustered data falls back to a
+    rung that can rank it (EXTREMELY tight clusters defeat even bf16 —
+    measured 0.19 recall with rerank — and must resolve float32)."""
+    rng = np.random.default_rng(7)
+    n, d = 4000, 32
+    idx = ExactIndex(metric="cosine", hbm_dtype="auto")
+    idx.batch_add(list(range(n)),
+                  rng.standard_normal((n, d)).astype(np.float32))
+    idx.host_serve_max_batch = 0
+    idx.batch_search(rng.standard_normal((4, d)).astype(np.float32), 5)
+    assert idx._resolved_hbm == "int8"
+
+    centers = rng.standard_normal((40, d)).astype(np.float32) * 5
+    for jitter, floor in ((0.3, 0.9), (0.05, 0.99)):
+        data = (centers[rng.integers(0, 40, n)]
+                + jitter * rng.standard_normal((n, d)).astype(np.float32))
+        idx2 = ExactIndex(metric="cosine", hbm_dtype="auto")
+        idx2.batch_add(list(range(n)), data)
+        idx2.host_serve_max_batch = 0
+        q = (centers[rng.integers(0, 40, 32)]
+             + jitter * rng.standard_normal((32, d)).astype(np.float32))
+        keys, _ = idx2.batch_search(q, 10)
+        assert idx2._resolved_hbm != "int8", (jitter, idx2._resolved_hbm)
+        gt_d, gt_i = np_exact_topk(q, data, 10, "cosine")
+        rec = np.mean([len(set(keys[r]) & set(gt_i[r])) / 10
+                       for r in range(32)])
+        assert rec >= floor, f"jitter {jitter}: recall {rec} "             f"(resolved {idx2._resolved_hbm})"
+    assert idx2._resolved_hbm == "float32"
+
+
+def test_capacity_auto_recheck_on_data_replacement():
+    """Replacing the data at the same N must re-run the fit check —
+    the n-based cache alone false-passed when clustered data replaced
+    random data (the Graph block-fit lesson, d67244e)."""
+    rng = np.random.default_rng(9)
+    n, d = 2000, 32
+    idx = ExactIndex(metric="cosine", hbm_dtype="auto")
+    idx.batch_add(list(range(n)),
+                  rng.standard_normal((n, d)).astype(np.float32))
+    idx.host_serve_max_batch = 0
+    idx.batch_search(rng.standard_normal((4, d)).astype(np.float32), 5)
+    assert idx._resolved_hbm == "int8"
+    centers = rng.standard_normal((20, d)).astype(np.float32) * 5
+    clustered = (centers[rng.integers(0, 20, n)]
+                 + 0.05 * rng.standard_normal((n, d)).astype(np.float32))
+    idx.batch_add(list(range(n)), clustered)   # same keys, new vectors
+    idx.batch_search(rng.standard_normal((4, d)).astype(np.float32), 5)
+    assert idx._resolved_hbm == "float32", idx._resolved_hbm
