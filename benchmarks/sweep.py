@@ -341,10 +341,10 @@ def main():
     from hnsw_tpu import HybridIndex
     for kind in ("random", "clustered"):
         if kind == "random":
-            base, qs = data, queries[:256]
+            base, qs = data, queries
         else:
             from benchmarks.datasets import synthetic_standin
-            base, qs = synthetic_standin(n, d, 256, seed=3,
+            base, qs = synthetic_standin(n, d, n_q, seed=3,
                                          kind="clustered")
         h = HybridIndex(HybridConfig(exact_threshold=100,
                                      large_strategy="ivf",
@@ -352,7 +352,12 @@ def main():
                                      partition_size=max(n // 32, 1)))
         h.batch_add(list(range(n)), base)
         for target in (0.9, 0.95, 0.99):
-            keys, _ = h.batch_search(qs, k, target_recall=target)  # warm
+            # 3 warm batches advance the validation back-off (stride
+            # 1 -> 8), so the timed batch shows the amortized steady
+            # state; B matches the raw-tier rows (the old B=256 timing
+            # understated the validated path ~2x on batch economics)
+            for _ in range(3):
+                keys, _ = h.batch_search(qs, k, target_recall=target)
             t0 = time.perf_counter()
             keys, _ = h.batch_search(qs, k, target_recall=target)
             dt = time.perf_counter() - t0
