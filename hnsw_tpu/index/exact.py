@@ -248,25 +248,9 @@ class ExactIndex:
         if q_pad != nq:
             queries = np.pad(queries, ((0, q_pad - nq), (0, 0)))
         if self._resolved_hbm != "float32":
-            # capacity mode: reduced-precision scan nominates k+margin
-            # candidates; one batched host fetch restores exact f32
-            # ordering. int8 needs the wider margin (global per-row
-            # scale cannot rank close ties — state._int8_block_fit).
-            from hnsw_tpu.ops.topk import quantized_topk_candidates
-            from hnsw_tpu.utils.rerank import host_rerank
-            margin = max(16, k // 2) if self._resolved_hbm == "int8" \
-                else max(4, k // 8)
-            kk = min(k + margin, v.shape[0])
-            d_cand, i_cand = quantized_topk_candidates(
-                jnp.asarray(queries), v, scales, sq, alive,
-                kk=kk, metric=self.metric)
-            # INF-dist rows are dead/padded fillers from approx_min_k —
-            # mask them so the f32 rerank cannot resurrect them (same
-            # guard as exact_topk's fast path)
-            cand = np.where(np.asarray(d_cand[:nq]) >= INF_DIST, -1,
-                            np.asarray(i_cand[:nq], np.int64))
-            return host_rerank(self.store, self.metric, queries[:nq],
-                               cand, k)
+            d_cand, i_cand = self._dispatch_capacity_scan(queries, k)
+            return self._finish_capacity_scan(queries, nq, k,
+                                              d_cand, i_cand)
         # Pallas fused kernel wins at large N on TPU (measured 1.4x at
         # 100k x 128: the score matrix never reaches HBM); XLA HIGHEST
         # stays the ground-truth path at small N / large k / CPU.
@@ -292,6 +276,68 @@ class ExactIndex:
         d = np.asarray(d[:nq])
         i = np.asarray(i[:nq], np.int64)
         return d, i
+
+    def _dispatch_capacity_scan(self, queries_padded: np.ndarray, k: int):
+        """Capacity-mode scan DISPATCH: reduced-precision scan
+        nominating k+margin candidates (int8 needs the wider margin —
+        a global per-row scale cannot rank close ties).  Returns device
+        futures (jax dispatch is asynchronous) so a caller can overlap
+        the previous batch's host rerank with this scan —
+        ``batch_search_stream``."""
+        from hnsw_tpu.ops.topk import quantized_topk_candidates
+        v, sq, alive, scales = self._sync()
+        margin = max(16, k // 2) if self._resolved_hbm == "int8" \
+            else max(4, k // 8)
+        kk = min(k + margin, v.shape[0])
+        return quantized_topk_candidates(
+            jnp.asarray(queries_padded), v, scales, sq, alive,
+            kk=kk, metric=self.metric)
+
+    def _finish_capacity_scan(self, queries_padded, nq: int, k: int,
+                              d_cand, i_cand):
+        """Capacity-mode scan FINISH: sync the candidate futures and
+        restore exact f32 ordering with one batched host fetch.
+        INF-dist rows are dead/padded fillers from approx_min_k —
+        masked so the rerank cannot resurrect them (the exact_topk
+        fast-path guard)."""
+        from hnsw_tpu.utils.rerank import host_rerank
+        cand = np.where(np.asarray(d_cand[:nq]) >= INF_DIST, -1,
+                        np.asarray(i_cand[:nq], np.int64))
+        return host_rerank(self.store, self.metric, queries_padded[:nq],
+                           cand, k)
+
+    def batch_search_stream(self, batches, k: int):
+        """Pipelined serving for a STREAM of query batches: batch i+1's
+        device scan is dispatched BEFORE batch i's host rerank runs, so
+        in the capacity modes the f32 rerank (112 ms at B=8192 over a
+        2M store) hides entirely under the next scan (~1.2 s at 33.5M
+        int8) — jax dispatch is asynchronous, so the device executes
+        batch i+1 while the host reranks batch i.  Yields
+        ``(dists [B, k], slots [B, k])`` per batch, in order.  Modes
+        without a host-rerank stage just serve sequentially (there is
+        nothing to overlap — XLA already pipelines pure device work)."""
+        if k <= 0:
+            raise ValueError(f"k must be greater than 0, got {k}")
+        if len(self.slots) > 0:
+            self._sync()
+        if len(self.slots) == 0 or self._resolved_hbm == "float32":
+            for q in batches:
+                yield self.batch_search_slots(q, k)
+            return
+        pending = None      # (queries_padded, nq, d_cand, i_cand)
+        for q in batches:
+            q = np.atleast_2d(np.asarray(q, np.float32))
+            self.store.ensure_dim(q.shape[-1])
+            nq = q.shape[0]
+            q_pad = _bucket(nq)
+            if q_pad != nq:
+                q = np.pad(q, ((0, q_pad - nq), (0, 0)))
+            d_cand, i_cand = self._dispatch_capacity_scan(q, k)
+            if pending is not None:
+                yield self._finish_capacity_scan(*pending)
+            pending = (q, nq, k, d_cand, i_cand)
+        if pending is not None:
+            yield self._finish_capacity_scan(*pending)
 
     def _host_search_slots(self, queries: np.ndarray, k: int
                            ) -> Tuple[np.ndarray, np.ndarray]:

@@ -244,3 +244,25 @@ def test_capacity_auto_recheck_on_data_replacement():
     idx.batch_add(list(range(n)), clustered)   # same keys, new vectors
     idx.batch_search(rng.standard_normal((4, d)).astype(np.float32), 5)
     assert idx._resolved_hbm == "float32", idx._resolved_hbm
+
+
+def test_batch_search_stream_matches_sequential():
+    """The pipelined stream must return exactly what per-batch
+    batch_search_slots returns, in order, for every hbm mode."""
+    n, d, k = 2000, 32, 10
+    v = make_vectors(n, d, seed=70)
+    batches = [make_vectors(48, d, seed=71 + i) for i in range(4)]
+    for dt in ("float32", "bf16", "int8"):
+        idx = ExactIndex(metric="cosine", hbm_dtype=dt)
+        idx.batch_add(list(range(n)), v)
+        idx.host_serve_max_batch = 0
+        seq = [idx.batch_search_slots(q, k) for q in batches]
+        got = list(idx.batch_search_stream(batches, k))
+        assert len(got) == len(seq)
+        for (ds, is_), (dg, ig) in zip(seq, got):
+            np.testing.assert_array_equal(is_, ig)
+            np.testing.assert_allclose(ds, dg, rtol=1e-6)
+    # empty index yields empty results without erroring
+    empty = ExactIndex(metric="cosine", hbm_dtype="int8")
+    out = list(empty.batch_search_stream(batches[:1], k))
+    assert out[0][1].shape == (48, k) and (out[0][1] == -1).all()
