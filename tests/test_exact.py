@@ -266,3 +266,20 @@ def test_batch_search_stream_matches_sequential():
     empty = ExactIndex(metric="cosine", hbm_dtype="int8")
     out = list(empty.batch_search_stream(batches[:1], k))
     assert out[0][1].shape == (48, k) and (out[0][1] == -1).all()
+
+
+@pytest.mark.parametrize("metric", ["dot", "sqeuclidean"])
+def test_capacity_mode_other_metrics(metric):
+    n, d, k = 1500, 24, 5
+    v = make_vectors(n, d, seed=80)
+    q = make_vectors(32, d, seed=81)
+    idx = ExactIndex(metric=metric, hbm_dtype="int8")
+    idx.batch_add(list(range(n)), v)
+    idx.host_serve_max_batch = 0
+    keys, dists = idx.batch_search(q, k)
+    gt_d, gt_i = np_exact_topk(q, v, k, metric)
+    rec = np.mean([len(set(keys[r]) & set(gt_i[r])) / k
+                   for r in range(32)])
+    assert rec >= 0.95, f"{metric} capacity recall {rec}"
+    np.testing.assert_allclose(
+        np.asarray(dists)[:, 0], gt_d[:, 0], rtol=1e-3, atol=1e-3)

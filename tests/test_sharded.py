@@ -356,3 +356,31 @@ def test_sharded_quantized_candidates_int8_and_bf16():
     assert rec >= 0.99, f"bf16 containment {rec}"
     # global ids: every id in range, none from padded space
     assert int(ib.max()) < n and int(iq.max()) < n
+
+
+def test_multihost_over_capacity_mode_slices():
+    """Capacity-mode ExactIndex slices compose under MultiHostIndex
+    unchanged (SearchableIndex protocol): consistent-hash routing +
+    host merge over int8-HBM slices, ~33M rows/chip each — a
+    multi-HOST capacity fabric with no new code."""
+    from hnsw_tpu.index.exact import ExactIndex
+    from hnsw_tpu.parallel.multihost import LocalTransport, MultiHostIndex
+
+    rng = np.random.default_rng(77)
+    n, d, k = 3000, 32, 10
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    slices = [ExactIndex(metric="cosine", hbm_dtype="int8")
+              for _ in range(4)]
+    for s in slices:
+        s.host_serve_max_batch = 0
+    mh = MultiHostIndex(LocalTransport(slices))
+    mh.batch_add(list(range(n)), v)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    keys, dists = mh.batch_search(q, k)
+    _, gt = np_exact_topk(q, v, k, "cosine")
+    rec = np.mean([len({kk for kk in keys[r] if kk is not None}
+                       & set(gt[r])) / k for r in range(16)])
+    assert rec >= 0.95, f"multihost capacity recall {rec}"
+    # self-NN routes through the right slice and survives quantization
+    keys2, d2 = mh.batch_search(v[:8], 1)
+    assert [row[0] for row in keys2] == list(range(8))
