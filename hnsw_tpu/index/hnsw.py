@@ -602,6 +602,8 @@ class Graph:
         ``HybridIndex.search(target_recall=...)`` which can fall back
         to the exact tier.
         """
+        if not ladder:
+            raise ValueError("ladder must be non-empty")
         key = (int(k), round(float(target_recall), 3))
         n_now = len(self)
         cached = self._ef_calib.get(key)

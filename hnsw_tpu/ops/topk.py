@@ -228,15 +228,17 @@ def quantized_topk_candidates(queries: jnp.ndarray, table: jnp.ndarray,
         d = _epilogue(metric, gram, q_sq, sq)
         return jnp.where(vld[None, :], d, INF_DIST)
 
-    def select(d, m):
+    def select(d, m, rt=0.95):
         if on_tpu:
-            return jax.lax.approx_min_k(d, m, recall_target=0.95)
+            return jax.lax.approx_min_k(d, m, recall_target=rt)
         return topk_smallest(d, m)
 
     kk = min(kk, n)
     if n <= chunk:
+        # single-chunk: this is the ONLY selection stage, so no margin
+        # stacking protects it — 0.99 target (exact_topk's same rule)
         d = score(table, scales, v_sq, valid)
-        return select(d, kk)
+        return select(d, kk, rt=0.99)
     n_pad = ((n + chunk - 1) // chunk) * chunk
     pad = n_pad - n
     tab = jnp.pad(table, ((0, pad), (0, 0)))
