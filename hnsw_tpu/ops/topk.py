@@ -241,10 +241,17 @@ def quantized_topk_candidates(queries: jnp.ndarray, table: jnp.ndarray,
         return select(d, kk, rt=0.99)
     n_pad = ((n + chunk - 1) // chunk) * chunk
     pad = n_pad - n
-    tab = jnp.pad(table, ((0, pad), (0, 0)))
-    sq = jnp.pad(v_sq, (0, pad))
-    vld = jnp.pad(valid, (0, pad), constant_values=False)
-    sc = None if scales is None else jnp.pad(scales, (0, pad))
+    if pad:
+        tab = jnp.pad(table, ((0, pad), (0, 0)))
+        sq = jnp.pad(v_sq, (0, pad))
+        vld = jnp.pad(valid, (0, pad), constant_values=False)
+        sc = None if scales is None else jnp.pad(scales, (0, pad))
+    else:
+        # this runs EAGERLY (callers pass multi-GB tables; jitting
+        # would re-trace per shape anyway) — a zero pad still
+        # materializes a full copy outside jit, which OOM'd the 640
+        # -chunk (41.9M int8, 5.4 GB) run. Alias when already aligned.
+        tab, sq, vld, sc = table, v_sq, valid, scales
     n_chunks = n_pad // chunk
     m = min(kk, chunk)
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
