@@ -1,0 +1,161 @@
+"""8M-scale single-chip clustered build + graph-vs-exact serving.
+
+ROADMAP round-4 lead 1: the regime where the fast exact tier's bf16
+scan loses ranking fidelity (tight clusters) and the f32 oracle is
+bandwidth-bound — the graph tier with compact jagged upper storage
+(core/state.DeviceGraph.nbr_upper tuple) is the contender.
+
+Usage: big_clustered.py [N] [wave] [build|serve|all]
+  build — generate clustered data, device-build, cache to /tmp
+  serve — reload cache, measure exact f32 / fast exact / graph ladder
+  all   — both (one process: no relay re-warm between phases)
+
+Appends JSON rows to benchmarks/results_tpu_r3.jsonl.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "results_tpu_r3.jsonl")
+
+
+def emit(rec):
+    rec["ts"] = time.time()
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def make_data(n, d, n_q, seed=0, base_too=True):
+    """Clustered stand-in, chunked generation (datasets.synthetic_standin
+    materializes intermediates; at 8M that is several extra GB).
+
+    ``base_too=False`` generates only the queries — the serve phase
+    reloads the graph (whose host store holds the vectors) and this
+    host's single slow core takes ~45 min to draw the 8M base
+    (measured: 63 s per 10M gaussians under contention)."""
+    rng = np.random.default_rng(seed)
+    n_c = max(1, n // 100)
+    centers = rng.standard_normal((n_c, d)).astype(np.float32) * 5
+    base = None
+    if base_too:
+        base = np.empty((n, d), np.float32)
+        for c0 in range(0, n, 1 << 20):
+            c1 = min(c0 + (1 << 20), n)
+            asg = rng.integers(0, n_c, c1 - c0)
+            base[c0:c1] = centers[asg]
+            base[c0:c1] += 0.3 * rng.standard_normal(
+                (c1 - c0, d)).astype(np.float32)
+    # dedicated stream: the query set is identical whether or not the
+    # base was drawn (serve-only reruns see the same workload)
+    rng_q = np.random.default_rng(seed + 10_007)
+    qasg = rng_q.integers(0, n_c, n_q)
+    queries = (centers[qasg]
+               + 0.3 * rng_q.standard_normal((n_q, d)).astype(np.float32))
+    return base, queries
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_388_608
+    wave = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    what = sys.argv[3] if len(sys.argv) > 3 else "all"
+    d, k, B = 128, 10, 1024
+    cache = f"/tmp/gbig_clustered_{n}.npz"
+
+    if os.environ.get("HNSW_TPU_FORCE_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from hnsw_tpu.utils.warmup import warmup_transfers
+    warmup_transfers()
+    import jax
+    import jax.numpy as jnp
+    from hnsw_tpu import Graph
+    from hnsw_tpu.ops.topk import exact_topk
+
+    t0 = time.perf_counter()
+    data, queries = make_data(n, d, B, base_too=what != "serve")
+    print(f"# data gen: {time.perf_counter() - t0:.0f}s", flush=True)
+
+    if what in ("build", "all"):
+        g = Graph(m=16, ef_search=20, metric="cosine", seed=0)
+        t0 = time.perf_counter()
+        g.build(list(range(n)), data, wave=wave, method="device",
+                quant_descent=False)
+        build_s = time.perf_counter() - t0
+        emit({"op": "device_build", "n": n, "wave": wave,
+              "kind": "clustered", "quant_descent": False,
+              "compact_upper": True, "seconds": round(build_s, 1)})
+        try:
+            from hnsw_tpu.io.codec import save_graph
+            t0 = time.perf_counter()
+            save_graph(g, cache)
+            print(f"# cache save: {time.perf_counter() - t0:.0f}s",
+                  flush=True)
+        except Exception as e:
+            print(f"# graph cache save failed: {e}", flush=True)
+        if what == "build":
+            return
+    else:
+        from hnsw_tpu.io.codec import load_graph
+        t0 = time.perf_counter()
+        g = load_graph(cache)
+        print(f"# cache load: {time.perf_counter() - t0:.0f}s", flush=True)
+
+    # ---- serving: exact f32 oracle (ground truth + oracle qps) ---------
+    g.fast_math = True
+    dev = g.device_graph()           # normalized f32 store in HBM
+    q = jnp.asarray(queries)
+
+    def bench(f, reps=3):
+        out = f()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f()
+        jax.block_until_ready(out)
+        return np.asarray(out[1]), reps * B / (time.perf_counter() - t0)
+
+    gt, oracle_qps = bench(lambda: exact_topk(
+        q, dev.vectors, dev.sq_norms, dev.alive, k=k, metric="cosine"))
+    emit({"op": "exact_f32", "n": n, "kind": "clustered",
+          "qps": round(oracle_qps), "recall": 1.0})
+
+    def rec(ii):
+        return round(sum(len(set(map(int, ii[r])) & set(map(int, gt[r])))
+                         for r in range(B)) / (B * k), 4)
+
+    ii, fast_qps = bench(lambda: exact_topk(
+        q, dev.vectors, dev.sq_norms, dev.alive, k=k, metric="cosine",
+        fast_math=True))
+    emit({"op": "exact_fast", "n": n, "kind": "clustered",
+          "qps": round(fast_qps), "recall": rec(ii)})
+
+    # ---- graph ladder: pivots entry, f32 rows, bitonic merge -----------
+    from hnsw_tpu.core.search import pivot_seeds, search_graph
+    g.entry_mode = "pivots"
+    pids, pvecs, psq = g._pivot_arrays()
+    for ef, E in ((96, 2), (192, 2), (384, 2), (768, 4)):
+        H = max(128, 2 * ef // E)
+        seeds = pivot_seeds(q, pvecs, psq, pids,
+                            s=min(g.seed_width, max(ef, k)),
+                            metric="cosine", fast_math=True)
+
+        def f():
+            return search_graph(dev, q, k=k, ef=ef, metric="cosine",
+                                max_hops=H, fast_math=True, expand=E,
+                                seed_ids=seeds, merge=g.merge_strategy,
+                                store_normalized=True)
+        ii, qps = bench(f)
+        emit({"op": "hnsw_blockless_piv", "n": n, "kind": "clustered",
+              "ef": ef, "expand": E, "qps": round(qps),
+              "recall": rec(ii)})
+
+
+if __name__ == "__main__":
+    main()

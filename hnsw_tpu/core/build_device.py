@@ -132,28 +132,34 @@ def _assemble_wave_rows(vectors, sq, cand_d_l, cand_i_l, intra_d,
 
 @functools.partial(jax.jit, static_argnames=("deg", "metric", "diversify"))
 def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric,
-                    diversify=False):
+                    diversify=False, row_of=None):
     """Apply reverse edges (tgt <- src) to one layer's neighbor table.
 
-    nb_l: [cap, Wd] int32; tgt/src: [E] int32 (-1 pads skipped).
-    Per target keeps the closest ``deg`` of (existing ∪ incoming) —
-    or, with ``diversify``, re-selects the row with the Malkov
-    neighbor-diversity heuristic (_diverse_select_dev), matching the
-    forward-edge selection. Closest-deg is the measured-equal default
-    (no recall delta at 10k; the heuristic costs an extra [A, C, C]
-    candidate-pairwise gram per chunk).
+    nb_l: [rows_n, Wd] int32; tgt/src: [E] int32 SLOT ids (-1 pads
+    skipped). Per target keeps the closest ``deg`` of (existing ∪
+    incoming) — or, with ``diversify``, re-selects the row with the
+    Malkov neighbor-diversity heuristic (_diverse_select_dev), matching
+    the forward-edge selection. Closest-deg is the measured-equal
+    default (no recall delta at 10k; the heuristic costs an extra
+    [A, C, C] candidate-pairwise gram per chunk).
+
+    ``row_of`` ([cap] int32, optional) maps slot -> table row for the
+    COMPACT upper-layer layout (DeviceGraph.upper_map): distances are
+    computed in slot space, reads/writes of nb_l go through the map.
+    None means rows are indexed by slot (layer 0 / dense tables).
 
     Work scales with the EDGE count, not cap: touched targets are
     compacted (<= E of them) and re-selected in bounded chunks — a dense
     per-row pass materialized [cap, Wd+deg, D] gathers, which is 34 GB
     at cap=1M and OOMed the 1M build.
     """
-    cap, Wd = nb_l.shape
+    rows_n, Wd = nb_l.shape
+    slot_hi = vectors.shape[0]                          # cap_pad
     E = tgt.shape[0]
     # rank incoming edges within each target: sort by (tgt, dist)
     d = _row_dist_dense(vectors, sq, tgt, src[:, None], metric)[:, 0]
     tgt_valid = tgt >= 0
-    key_t = jnp.where(tgt_valid, tgt, cap)              # pads last
+    key_t = jnp.where(tgt_valid, tgt, slot_hi)          # pads last
     order = jnp.lexsort((d, key_t))
     t_s = key_t[order]
     s_s = src[order]
@@ -164,25 +170,33 @@ def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric,
         jnp.maximum, jnp.where(is_start, idx, 0))
     rank = idx - start_idx
     m_in = deg
-    keep = (t_s < cap) & (rank < m_in) & (d_s < INF_DIST)
-    # scatter incoming into [cap, m_in] buffer (drop out-of-range)
-    row_ix = jnp.where(keep, t_s, cap)
-    col_ix = jnp.clip(rank, 0, m_in - 1)
-    inc = jnp.full((cap + 1, m_in), -1, jnp.int32)
-    inc = inc.at[row_ix, col_ix].set(jnp.where(keep, s_s, -1), mode="drop")
-    inc = inc[:cap]
+    keep = (t_s < slot_hi) & (rank < m_in) & (d_s < INF_DIST)
 
-    # compact unique touched targets (<= E), cap-pads sort to the tail
-    uniq = jnp.sort(jnp.where(is_start & (t_s < cap), t_s, cap))    # [E]
+    def to_row(slots_arr):
+        if row_of is None:
+            return slots_arr
+        return row_of[jnp.clip(slots_arr, 0, slot_hi - 1)]
+
+    # scatter incoming into [rows_n, m_in] buffer (drop out-of-range)
+    r_ix = to_row(t_s)
+    row_ix = jnp.where(keep & (r_ix >= 0), r_ix, rows_n)
+    col_ix = jnp.clip(rank, 0, m_in - 1)
+    inc = jnp.full((rows_n + 1, m_in), -1, jnp.int32)
+    inc = inc.at[row_ix, col_ix].set(jnp.where(keep, s_s, -1), mode="drop")
+    inc = inc[:rows_n]
+
+    # compact unique touched target SLOTS (<= E), pads sort to the tail
+    uniq = jnp.sort(jnp.where(is_start & (t_s < slot_hi), t_s, slot_hi))
     chunk = min(4096, E)
     n_chunks = -(-E // chunk)
     pad_e = n_chunks * chunk - E
     if pad_e:
-        uniq = jnp.pad(uniq, (0, pad_e), constant_values=cap)
+        uniq = jnp.pad(uniq, (0, pad_e), constant_values=slot_hi)
 
     def step(nb_l, anchors):
-        safe = jnp.clip(anchors, 0, cap - 1)
-        valid = anchors < cap
+        arow = to_row(anchors)
+        valid = (anchors < slot_hi) & (arow >= 0)
+        safe = jnp.clip(arow, 0, rows_n - 1)
         rows_nb = nb_l[safe]                            # [A, Wd]
         rows_inc = inc[safe]                            # [A, m_in]
         comb = jnp.concatenate([rows_nb, rows_inc], axis=1)
@@ -206,7 +220,7 @@ def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric,
             new_rows = jnp.concatenate(
                 [new_rows, jnp.full((anchors.shape[0], Wd - deg), -1,
                                     jnp.int32)], axis=1)
-        write = jnp.where(valid, anchors, cap)          # OOB -> dropped
+        write = jnp.where(valid, arow, rows_n)          # OOB -> dropped
         nb_l = nb_l.at[write].set(new_rows, mode="drop")
         return nb_l, None
 
@@ -214,56 +228,34 @@ def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric,
     return nb_l
 
 
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("layer",))
-def _set_layer(nb_dev, nb_l, layer: int):
-    """In-place (donated) update of one layer's neighbor table.
-
-    Outside jit, ``nb_dev.at[layer].set`` copies the whole [L, cap, Wd]
-    stack eagerly — a ~3 GB transient per layer update at 2M cap, which
-    is what capped single-chip builds at 1M. Donation lets XLA alias
-    the buffer."""
-    return nb_dev.at[layer].set(nb_l)
-
-
-def _sparse_sync(host: host_build.HostGraph, nb0_dev, nbU_dev,
-                 lv: np.ndarray, ncap: int) -> None:
-    """D2H of the final neighbor state: dense layer 0, sparse uppers.
+def _sparse_sync(host: host_build.HostGraph, nb0_dev, nbU_tabs,
+                 ups: np.ndarray, u_counts, ncap: int) -> None:
+    """D2H of the final neighbor state: dense layer 0, occupied uppers.
 
     Only a ml^l fraction of nodes reaches layer l, so a dense pull of
-    the upper stack ships ~10x the occupied bytes — measured 450s of
-    the 1M build's 2420s went to this single transfer through the
-    relay. One bucketed 2D gather fetches every occupied upper row.
+    an upper stack ships ~10x the occupied bytes — measured 450s of
+    the 1M build's 2420s went to that single transfer through the
+    relay. With the COMPACT level-ranked layout the occupied rows of
+    layer l are exactly the table prefix [0, U_l): the sync is one
+    contiguous slice pull per layer, no gather at all.
 
-    ``nb0_dev`` [cap_pad, Wd] is layer 0; ``nbU_dev`` [L-1, cap_pad, m]
-    holds the uppers (None when the graph has one layer) — the split
-    device layout (DeviceGraph.nbr_upper).
+    ``nb0_dev`` [cap_pad, Wd] is layer 0; ``nbU_tabs`` is the jagged
+    tuple of [U_l_pad, m] upper tables (None when the graph has one
+    layer); ``ups`` maps compact rank -> slot; ``u_counts[l-1]`` is the
+    occupancy of layer l.
     """
     L_all = host.neighbors.shape[0]
     host.neighbors[0][:] = np.asarray(nb0_dev[:ncap])
-    per_rows = []
     for l in range(1, L_all):
-        rows = np.flatnonzero(lv >= l)
         host.neighbors[l][:ncap] = -1
-        per_rows.append(rows)
-    T = sum(len(r) for r in per_rows)
-    if T == 0 or nbU_dev is None:
-        return
-    m_up = nbU_dev.shape[2]
-    li = np.concatenate([np.full(len(r), l, np.int32)
-                         for l, r in enumerate(per_rows)])
-    ri = np.concatenate(per_rows)
-    tb = bucket_pow2(max(T, 1), 256)
-    lpad = np.zeros(tb, np.int32)
-    rpad = np.zeros(tb, np.int64)
-    lpad[:T] = li
-    rpad[:T] = ri
-    sel = np.asarray(nbU_dev[jnp.asarray(lpad), jnp.asarray(rpad)])[:T]
-    off = 0
-    for l, rows in enumerate(per_rows):
-        host.neighbors[l + 1][rows, :m_up] = sel[off:off + len(rows)]
-        host.neighbors[l + 1][rows, m_up:] = -1
-        off += len(rows)
+        u_l = u_counts[l - 1] if nbU_tabs is not None else 0
+        if not u_l:
+            continue
+        sel = np.asarray(nbU_tabs[l - 1][:u_l])          # [U_l, m_up]
+        rows = ups[:u_l]
+        m_up = sel.shape[1]
+        host.neighbors[l][rows, :m_up] = sel
+        host.neighbors[l][rows, m_up:] = -1
 
 
 def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
@@ -333,16 +325,35 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     vectors_dev = jnp.asarray(pad_rows(
         store.vectors[:ncap], 0, (cap_pad, store.dim)))
     sq_dev = jnp.asarray(pad_rows(store.sq_norms[:ncap], 0, (cap_pad,)))
-    # SPLIT neighbor storage (DeviceGraph.nbr_upper): layer 0 at the
-    # full degree, uppers at m — the dense [L, cap, Wd] stack allocated
-    # every upper layer at layer-0 width (~2.3 GB wasted at 4M; the 4M
-    # single-chip blocker, ROADMAP 2). Host upper rows never carry more
-    # than m live edges (cfg.max_degree), so the slice is lossless.
+    # COMPACT upper storage (DeviceGraph.nbr_upper): layer 0 at the
+    # full degree; uppers as jagged per-layer tables indexed by
+    # level-DESCENDING rank, so layer l's nodes occupy the prefix
+    # [0, U_l) of every table. Every node's final level is known here
+    # (existing graph + the freshly sampled wave levels), so the whole
+    # assignment is static for the build: ~N/3 upper rows total instead
+    # of (L-1) * cap — the 8M+ single-chip enabler (the dense split
+    # stack before it was 5.9 GB at 8M; the [L, cap, Wd] stack before
+    # THAT was the 4M blocker).
     m_up = cfg.m
     nb0_dev = jnp.asarray(pad_rows(host.neighbors[0], -1, (cap_pad, Wd)))
-    nbU_dev = (jnp.asarray(pad_rows(host.neighbors[1:, :, :m_up], -1,
-                                    (L_all - 1, cap_pad, m_up)))
-               if L_all > 1 else None)
+    lv_all = np.full(cap_pad, -1, np.int32)
+    lv_all[:ncap] = host.levels[:ncap]
+    lv_all[slots] = levels
+    ups = np.flatnonzero(lv_all >= 1)
+    ups = ups[np.argsort(-lv_all[ups], kind="stable")]
+    umap = np.full(cap_pad, -1, np.int32)
+    umap[ups] = np.arange(len(ups), dtype=np.int32)
+    u_counts = [int((lv_all >= l).sum()) for l in range(1, L_all)]
+    nbU_tabs = umap_dev = None
+    if L_all > 1:
+        nbU_tabs = []
+        for lyr in range(1, L_all):
+            u_l = u_counts[lyr - 1]
+            t = np.full((bucket_pow2(max(u_l, 1), 8), m_up), -1, np.int32)
+            if u_l:   # existing nodes' rows (new slots are still -1)
+                t[:u_l] = host.neighbors[lyr][ups[:u_l], :m_up]
+            nbU_tabs.append(jnp.asarray(t))
+        umap_dev = jnp.asarray(umap)
     levels_dev = jnp.asarray(pad_rows(host.levels[:ncap], -1, (cap_pad,)))
     alive_dev = levels_dev >= 0
     qvec_dev = qscale_dev = block_scale = None
@@ -399,7 +410,9 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                         entry=jnp.asarray(np.int32(host.entry)),
                         qvec=qvec_dev, qscale=qscale_dev,
                         nbr_blocks=nbr_blocks, block_scale=block_scale,
-                        nbr_upper=nbU_dev)
+                        nbr_upper=(tuple(nbU_tabs) if nbU_tabs is not None
+                                   else None),
+                        upper_map=umap_dev)
         wq = vectors_dev[wsl_dev]
         cand_d, cand_i = construction_descent(
             g, wq, ef=max(cfg.ef_construction, n_cand), m_out=n_cand,
@@ -437,7 +450,8 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                 diversify=cfg.diversify)                # [Pp, deg]
 
             # scatter wave rows (layer 0 and uppers live in separate
-            # tables at their own widths; deg == table width for both)
+            # tables at their own widths; deg == table width for both).
+            # Upper writes go through the compact slot->row map.
             tgt_slots = jnp.where(jnp.asarray(part_pad) >= 0,
                                   wsl_dev[jnp.clip(jnp.asarray(
                                       part_pad.astype(np.int32)), 0,
@@ -447,23 +461,33 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             full_rows = jnp.concatenate(
                 [rows, jnp.full((Pp, Wl - deg), -1, jnp.int32)], axis=1) \
                 if Wl > deg else rows
-            nb_l = nb0_dev if layer == 0 else nbU_dev[layer - 1]
+            if layer == 0:
+                nb_l = nb0_dev
+                rows_n = cap_pad
+                tgt_rows = tgt_slots
+            else:
+                nb_l = nbU_tabs[layer - 1]
+                rows_n = nb_l.shape[0]
+                tr = umap_dev[jnp.clip(tgt_slots, 0, cap_pad - 1)]
+                tgt_rows = jnp.where((tgt_slots < cap_pad) & (tr >= 0),
+                                     tr, rows_n)
             nb_l = jnp.concatenate(
                 [nb_l, jnp.full((1, Wl), -1, jnp.int32)]) \
-                .at[tgt_slots].set(full_rows, mode="drop")[:cap_pad]
+                .at[tgt_rows].set(full_rows, mode="drop")[:rows_n]
 
-            # reverse edges
+            # reverse edges (slot-space pairs; _reverse_update remaps)
             rev_t = rows.reshape(-1)
             rev_s = jnp.repeat(tgt_slots.astype(jnp.int32), deg)
             rev_t = jnp.where((rev_t >= 0) & (rev_s < cap_pad), rev_t, -1)
             rev_s = jnp.where(rev_t >= 0, rev_s, -1)
             nb_l = _reverse_update(nb_l, vectors_dev, sq_dev, rev_t,
                                    rev_s, deg=deg, metric=metric,
-                                   diversify=cfg.reverse_diversify)
+                                   diversify=cfg.reverse_diversify,
+                                   row_of=None if layer == 0 else umap_dev)
             if layer == 0:
                 nb0_dev = nb_l
             else:
-                nbU_dev = _set_layer(nbU_dev, nb_l, layer - 1)
+                nbU_tabs[layer - 1] = nb_l
 
         # commit wave (device scatters + host bookkeeping)
         upd = jnp.asarray(wslots.astype(np.int32))
@@ -485,7 +509,7 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     # ---- single D2H sync ----------------------------------------------------
     lv = np.asarray(levels_dev[:ncap])
     host.levels[:ncap] = lv
-    _sparse_sync(host, nb0_dev, nbU_dev, lv, ncap)
+    _sparse_sync(host, nb0_dev, nbU_tabs, ups, u_counts, ncap)
 
 
 def _local_repair_wave(g: DeviceGraph, nb0_dev, vectors, sq, wsl, valid,
@@ -585,12 +609,28 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
     vectors_dev = jnp.asarray(pad_rows(
         store.vectors[:ncap], 0, (cap_pad, store.dim)))
     sq_dev = jnp.asarray(pad_rows(store.sq_norms[:ncap], 0, (cap_pad,)))
-    # split storage, mirroring bulk_insert_device
+    # compact jagged upper storage, mirroring bulk_insert_device
+    # (levels are fixed during refinement, so the level-ranked
+    # assignment comes straight from the host levels)
     m_up = cfg.m
     nb0_dev = jnp.asarray(pad_rows(host.neighbors[0], -1, (cap_pad, Wd)))
-    nbU_dev = (jnp.asarray(pad_rows(host.neighbors[1:, :, :m_up], -1,
-                                    (L_all - 1, cap_pad, m_up)))
-               if L_all > 1 else None)
+    lv_all = np.full(cap_pad, -1, np.int32)
+    lv_all[:ncap] = host.levels[:ncap]
+    ups = np.flatnonzero(lv_all >= 1)
+    ups = ups[np.argsort(-lv_all[ups], kind="stable")]
+    umap = np.full(cap_pad, -1, np.int32)
+    umap[ups] = np.arange(len(ups), dtype=np.int32)
+    u_counts = [int((lv_all >= l).sum()) for l in range(1, L_all)]
+    nbU_tabs = umap_dev = None
+    if L_all > 1:
+        nbU_tabs = []
+        for lyr in range(1, L_all):
+            u_l = u_counts[lyr - 1]
+            t = np.full((bucket_pow2(max(u_l, 1), 8), m_up), -1, np.int32)
+            if u_l:
+                t[:u_l] = host.neighbors[lyr][ups[:u_l], :m_up]
+            nbU_tabs.append(jnp.asarray(t))
+        umap_dev = jnp.asarray(umap)
     levels_dev = jnp.asarray(pad_rows(host.levels[:ncap], -1, (cap_pad,)))
     alive_dev = levels_dev >= 0
     qvec_dev = qscale_dev = block_scale = None
@@ -634,7 +674,9 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
                         entry=jnp.asarray(np.int32(host.entry)),
                         qvec=qvec_dev, qscale=qscale_dev,
                         nbr_blocks=nbr_blocks, block_scale=block_scale,
-                        nbr_upper=nbU_dev)
+                        nbr_upper=(tuple(nbU_tabs) if nbU_tabs is not None
+                                   else None),
+                        upper_map=umap_dev)
         wq = vectors_dev[wsl_dev]
         if local:
             nb0_dev = _local_repair_wave(
@@ -672,20 +714,30 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
             full_rows = jnp.concatenate(
                 [rows, jnp.full((cur_wave, Wl - deg), -1, jnp.int32)],
                 axis=1) if Wl > deg else rows
-            nb_l = nb0_dev if layer == 0 else nbU_dev[layer - 1]
+            if layer == 0:
+                nb_l = nb0_dev
+                rows_n = cap_pad
+                tgt_rows = tgt_slots
+            else:
+                nb_l = nbU_tabs[layer - 1]
+                rows_n = nb_l.shape[0]
+                tr = umap_dev[jnp.clip(tgt_slots, 0, cap_pad - 1)]
+                tgt_rows = jnp.where((tgt_slots < cap_pad) & (tr >= 0),
+                                     tr, rows_n)
             nb_l = jnp.concatenate(
                 [nb_l, jnp.full((1, Wl), -1, jnp.int32)]) \
-                .at[tgt_slots].set(full_rows, mode="drop")[:cap_pad]
+                .at[tgt_rows].set(full_rows, mode="drop")[:rows_n]
             rev_t = rows.reshape(-1)
             rev_s = jnp.repeat(tgt_slots.astype(jnp.int32), deg)
             rev_t = jnp.where((rev_t >= 0) & (rev_s < cap_pad), rev_t, -1)
             rev_s = jnp.where(rev_t >= 0, rev_s, -1)
             nb_l = _reverse_update(nb_l, vectors_dev, sq_dev, rev_t,
                                    rev_s, deg=deg, metric=metric,
-                                   diversify=cfg.reverse_diversify)
+                                   diversify=cfg.reverse_diversify,
+                                   row_of=None if layer == 0 else umap_dev)
             if layer == 0:
                 nb0_dev = nb_l
             else:
-                nbU_dev = _set_layer(nbU_dev, nb_l, layer - 1)
+                nbU_tabs[layer - 1] = nb_l
 
-    _sparse_sync(host, nb0_dev, nbU_dev, host.levels[:ncap], ncap)
+    _sparse_sync(host, nb0_dev, nbU_tabs, ups, u_counts, ncap)

@@ -163,8 +163,7 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
     cap = g.cap
     P = pool_size
     E = max(1, min(expand, P))
-    neigh = g.layer_neighbors(layer)        # [cap, M] (M0 or upper m)
-    M = neigh.shape[1]
+    M = g.layer_width(layer)                # M0 or upper m
     rows = jnp.arange(B)
     use_blocks = (layer == 0 and g.nbr_blocks is not None
                   and registered(metric) is None)
@@ -241,7 +240,8 @@ def beam_search_layer(g: DeviceGraph, layer: int, queries: jnp.ndarray,
         cur_safe = jnp.clip(jnp.where(take, cur, 0), 0, cap - 1)
         expanded = expanded.at[rows[:, None], j].max(take)
 
-        nbrs = neigh[cur_safe][..., :M].reshape(B, E * M)    # [B, E*M]
+        nbrs = (g.gather_neighbors(layer, cur_safe)[..., :M]
+                .reshape(B, E * M))                          # [B, E*M]
         nb_ok = (nbrs >= 0) & jnp.repeat(take, M, axis=1)
         # Mask candidates already in the pool: without this, dups of the
         # best pool entries (equal-best distances) crowd out legitimate

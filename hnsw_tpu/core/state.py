@@ -52,11 +52,19 @@ class DeviceGraph(NamedTuple):
     block_scale: Optional[jnp.ndarray] = None  # [] float32
     #: optional SPLIT upper-layer storage: when set, ``neighbors`` holds
     #: ONLY layer 0 ([1, cap, M0]) and this holds layers 1..L-1 at the
-    #: upper degree m ([L-1, cap, m]). The dense [L, cap, max(m0, m)]
-    #: stack allocates every layer at layer-0 width although upper rows
-    #: carry at most m edges and only an ml^l fraction of nodes — ~2.3
-    #: GB wasted at 4M (the single-chip 4M-build blocker, ROADMAP 2).
-    nbr_upper: Optional[jnp.ndarray] = None    # [L-1, cap, m] int32
+    #: upper degree m. Two layouts:
+    #:   * dense array [L-1, cap, m] — rows indexed by slot id;
+    #:   * COMPACT jagged tuple of [U_l, m] arrays (one per upper
+    #:     layer), rows indexed by ``upper_map[slot]``. Upper ids are
+    #:     assigned by DESCENDING node level, so the nodes of layer l
+    #:     (an ml^l fraction) occupy a PREFIX of every table and each
+    #:     layer allocates only its own occupancy: ~0.2 GB total at 8M
+    #:     vs 5.9 GB dense — the 8M+ single-chip enabler (the dense
+    #:     [L, cap, max(m0, m)] stack before it was the 4M blocker).
+    nbr_upper: "Optional[jnp.ndarray | tuple]" = None
+    #: slot -> compact upper row (int32 [cap], -1 = node has no upper
+    #: layers). Set IFF nbr_upper is the compact jagged tuple.
+    upper_map: Optional[jnp.ndarray] = None
 
     @property
     def cap(self) -> int:
@@ -72,7 +80,7 @@ class DeviceGraph(NamedTuple):
     @property
     def num_layers(self) -> int:
         if self.nbr_upper is not None:
-            return self.neighbors.shape[0] + self.nbr_upper.shape[0]
+            return self.neighbors.shape[0] + len(self.nbr_upper)
         return self.neighbors.shape[0]
 
     @property
@@ -81,10 +89,35 @@ class DeviceGraph(NamedTuple):
 
     def layer_neighbors(self, layer: int) -> jnp.ndarray:
         """[cap, width] adjacency of one layer (width is M0 for layer 0
-        and m for uppers when the split storage is active)."""
+        and m for uppers when the split storage is active). Not defined
+        for compact-upper graphs above layer 0 — use gather_neighbors."""
         if self.nbr_upper is not None and layer > 0:
+            if self.upper_map is not None:
+                raise ValueError(
+                    "compact upper storage has no [cap, m] table; "
+                    "gather rows via gather_neighbors()")
             return self.nbr_upper[layer - 1]
         return self.neighbors[layer]
+
+    def layer_width(self, layer: int) -> int:
+        """Edge width of one layer's rows (static)."""
+        if self.nbr_upper is not None and layer > 0:
+            return self.nbr_upper[layer - 1].shape[-1]
+        return self.neighbors.shape[2]
+
+    def gather_neighbors(self, layer: int, ids: jnp.ndarray) -> jnp.ndarray:
+        """Neighbor rows of ``ids`` (any shape of IN-RANGE slot ids) at
+        one layer -> [..., width] int32, -1 padded. The single adjacency
+        read used by the beam search — it hides which upper layout
+        (dense by slot / compact by upper_map rank) is active."""
+        if self.nbr_upper is not None and layer > 0:
+            tab = self.nbr_upper[layer - 1]
+            if self.upper_map is not None:
+                u = self.upper_map[ids]
+                rows = tab[jnp.clip(u, 0, tab.shape[0] - 1)]
+                return jnp.where((u >= 0)[..., None], rows, -1)
+            return tab[ids]
+        return self.neighbors[layer][ids]
 
 
 def bucket_pow2(n: int, minimum: int = 8) -> int:
@@ -205,7 +238,7 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
               block_m: int | None = None,
               block_dtype: str = "auto",
               metric: str = "cosine",
-              split_layers: bool = False,
+              split_layers: "bool | str" = False,
               upper_m: int | None = None) -> DeviceGraph:
     """Upload padded host arrays to device, bucketing capacity.
 
@@ -280,7 +313,7 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
     else:
         dim = vectors.shape[1] if vectors.ndim == 2 and vectors.size else 1
         vec_dev = jnp.zeros((1, dim), jnp.float32)
-    nbr_upper = None
+    nbr_upper = upper_map = None
     if split_layers and nb.shape[0] > 1:
         # split device layout (DeviceGraph.nbr_upper): layer 0 at full
         # width, uppers truncated to upper_m (host upper rows never
@@ -293,7 +326,26 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
             return out
 
         nb_dev = jnp.asarray(pad3(nb[:1], -1))
-        nbr_upper = jnp.asarray(pad3(nb[1:, :, :mu], -1))
+        if split_layers == "compact":
+            # jagged per-layer tables indexed by level-descending rank:
+            # layer l's nodes occupy rows [0, U_l) of EVERY table, so
+            # each layer stores only its own occupancy (~N/3 rows total
+            # instead of (L-1) * cap). See DeviceGraph.nbr_upper.
+            lv = np.asarray(levels, np.int32)
+            ups = np.flatnonzero(lv >= 1)
+            ups = ups[np.argsort(-lv[ups], kind="stable")]
+            umap = np.full((cap,), -1, np.int32)
+            umap[ups] = np.arange(len(ups), dtype=np.int32)
+            tabs = []
+            for lyr in range(1, L):
+                u_l = int((lv >= lyr).sum())
+                t = np.full((bucket_pow2(max(u_l, 1)), mu), -1, np.int32)
+                t[:u_l] = nb[lyr][ups[:u_l], :mu]
+                tabs.append(jnp.asarray(t))
+            nbr_upper = tuple(tabs)
+            upper_map = jnp.asarray(umap)
+        else:
+            nbr_upper = jnp.asarray(pad3(nb[1:, :, :mu], -1))
     else:
         nb_dev = jnp.asarray(pad_rows(nb, -1))
     nbr_blocks = block_scale = None
@@ -328,6 +380,7 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
         nbr_blocks=nbr_blocks,
         block_scale=block_scale,
         nbr_upper=nbr_upper,
+        upper_map=upper_map,
     )
 
 

@@ -424,8 +424,11 @@ class Graph:
                 sqs = np.ones_like(sqs)
             split = self.split_layers
             if split == "auto":
+                # compact jagged uppers: ~N/3 rows total instead of
+                # (L-1) * cap — the 8M+ serving enabler (5.9 GB -> 0.2
+                # GB at 8M). One extra [B, E] map gather per upper hop.
                 dense_bytes = nb.shape[0] * cap * nb.shape[2] * 4
-                split = dense_bytes > (1 << 30)
+                split = "compact" if dense_bytes > (1 << 30) else False
             self._dev = from_host(
                 vecs,
                 sqs,
@@ -440,7 +443,7 @@ class Graph:
                 block_m=self.block_m,
                 block_dtype=self._resolve_block_dtype(n),
                 metric=self.metric,
-                split_layers=bool(split),
+                split_layers=split,
                 upper_m=self.cfg.m)
             self._dirty = False
         return self._dev
