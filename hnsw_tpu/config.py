@@ -188,12 +188,22 @@ class AdaptiveConfig:
     initial_dim_threshold: int = 500
     exploration_factor: float = 0.1
     min_samples_for_adaptation: int = 20
+    #: probe a served batch's recall against the f32 exact oracle every
+    #: N-th batch_search call (<=32 queries/probe). The probe is what
+    #: lets the bandit learn that a capacity tier (exact_fast /
+    #: lsh / graph) is losing recall on THIS workload — latency alone
+    #: would happily pick a fast wrong tier (clustered data breaks
+    #: bf16+approx ranking; measured recall 0.70 at 4k clustered).
+    #: 0 disables probing.
+    recall_probe_interval: int = 8
 
     def validate(self) -> None:
         if self.window_size <= 0:
             raise ValueError("window_size must be > 0")
         if not (0 <= self.exploration_factor <= 1):
             raise ValueError("exploration_factor must be in [0,1]")
+        if self.recall_probe_interval < 0:
+            raise ValueError("recall_probe_interval must be >= 0")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,6 +14,15 @@ three sub-indexes and dispatches per query with fallback chains
 HNSW <-> LSH -> Exact. Metrics are recorded synchronously (the
 reference's detached-goroutine recording is an artifact of Go, not a
 capability).
+
+Beyond the reference: the bandit also arbitrates this engine's CAPACITY
+tiers — ``exact_fast`` (bf16 MXU scan + hardware approx top-k + f32
+rerank, same device table as ``exact``) joins the strategy set, the
+exact tier honors ``HybridConfig.exact_hbm_dtype`` (bf16/int8/auto HBM
+tables for N beyond f32 HBM), and a periodic oracle probe
+(AdaptiveConfig.recall_probe_interval) feeds MEASURED recall into the
+score so a fast-but-wrong tier loses arbitration on workloads where
+reduced precision breaks ranking (tight clusters).
 """
 
 from __future__ import annotations
@@ -30,7 +39,12 @@ from hnsw_tpu.index.hnsw import Graph
 from hnsw_tpu.index.lsh import LSHIndex
 from hnsw_tpu.telemetry import (DistanceStats, MetricsWindow, QueryMetrics)
 
-STRATEGIES = ("exact", "lsh", "hnsw", "hybrid")
+STRATEGIES = ("exact", "exact_fast", "lsh", "hnsw", "hybrid")
+#: strategies the ε-greedy arm may explore (reference explores its three
+#: base strategies, adaptive.go:199; ``exact_fast`` is this engine's
+#: capacity tier — bf16 scan + hardware approx top-k + f32 rerank — and
+#: must be explored for the bandit to discover its latency edge).
+EXPLORE_STRATEGIES = ("exact", "exact_fast", "lsh", "hnsw")
 
 
 class AdaptiveSelector:
@@ -63,7 +77,7 @@ class AdaptiveSelector:
     def select_strategy(self, query: np.ndarray, dataset_size: int,
                         dim: int) -> str:
         if self.rng.random() < self.cfg.exploration_factor:
-            return self.rng.choice(STRATEGIES[:3])  # explore
+            return self.rng.choice(EXPLORE_STRATEGIES)  # explore
         clustered = self.observe_query_cluster(query)
         if dataset_size <= self.exact_threshold:
             choice = "exact"
@@ -123,7 +137,7 @@ class AdaptiveSelector:
         n_exp = int(np.ceil(self.cfg.exploration_factor * B)) \
             if self.cfg.exploration_factor > 0 else 0
         if n_exp > 0:
-            strat = self.rng.choice(STRATEGIES[:3])
+            strat = self.rng.choice(EXPLORE_STRATEGIES)
             idx = self.rng.sample(range(B), min(n_exp, B))
             base[idx] = strat
         return list(base)
@@ -197,7 +211,8 @@ class AdaptiveHybridIndex:
         self.hcfg.validate()
         self.selector = AdaptiveSelector(adaptive_config,
                                          seed=self.hcfg.seed)
-        self.exact = ExactIndex(metric=self.hcfg.metric)
+        self.exact = ExactIndex(metric=self.hcfg.metric,
+                                hbm_dtype=self.hcfg.exact_hbm_dtype)
         self.graph = Graph(m=self.hcfg.m, ml=self.hcfg.ml,
                            ef_search=self.hcfg.ef_search,
                            metric=self.hcfg.metric, seed=self.hcfg.seed)
@@ -210,6 +225,9 @@ class AdaptiveHybridIndex:
         #: XLA compiles on a strategy's first query; recording that
         #: latency would permanently bias the bandit against it.
         self._warmed: set = set()
+        #: batch_search calls since the last oracle recall probe
+        #: (AdaptiveConfig.recall_probe_interval).
+        self._since_probe = 0
 
     def __len__(self) -> int:
         return len(self.exact)
@@ -238,10 +256,26 @@ class AdaptiveHybridIndex:
         return [self.delete(k) for k in keys]
 
     # -- search (adaptive_hybrid.go:132-282) --------------------------------------
+    def _exact_call(self, queries: np.ndarray, k: int, fast: bool):
+        """One exact-tier sweep with the fast_math flag pinned.
+
+        The flag is read per call (exact.py batch_search_slots), so
+        toggling it runs the bf16+approx+f32-rerank capacity path on the
+        SAME device-resident table — no re-upload, no second index."""
+        prev = self.exact.fast_math
+        self.exact.fast_math = fast
+        try:
+            return self.exact.batch_search(queries, k)
+        finally:
+            self.exact.fast_math = prev
+
     def _run(self, strategy: str, query: np.ndarray, k: int
              ) -> List[Tuple[Any, float]]:
-        if strategy == "exact":
-            return self.exact.search(query, k)
+        if strategy in ("exact", "exact_fast"):
+            keys, dists = self._exact_call(query[None], k,
+                                           strategy == "exact_fast")
+            return [(kk, float(dd)) for kk, dd in zip(keys[0], dists[0])
+                    if kk is not None]
         if strategy == "lsh":
             return self.lsh.search(query, k)
         if strategy == "hybrid":
@@ -278,6 +312,7 @@ class AdaptiveHybridIndex:
             self.selector.record(QueryMetrics(
                 strategy=strat, duration_s=dt, result_count=len(res),
                 success=success,
+                recall=1.0 if strat == "exact" else 0.0,
                 distance_stats=DistanceStats.from_distances(
                     [d for _, d in res])))
         else:
@@ -287,8 +322,9 @@ class AdaptiveHybridIndex:
     def _run_batch(self, strategy: str, queries: np.ndarray, k: int
                    ) -> List[List[Tuple[Any, float]]]:
         """One batched device sweep for a whole strategy group."""
-        if strategy == "exact":
-            keys, dists = self.exact.batch_search(queries, k)
+        if strategy in ("exact", "exact_fast"):
+            keys, dists = self._exact_call(queries, k,
+                                           strategy == "exact_fast")
         elif strategy == "lsh":
             keys, dists = self.lsh.batch_search(queries, k)
         elif strategy == "hybrid":
@@ -329,6 +365,15 @@ class AdaptiveHybridIndex:
         out: List[Optional[List[Tuple[Any, float]]]] = [None] * B
         want = min(k, len(self))
         shortfall: List[int] = []
+        # oracle recall probe (AdaptiveConfig.recall_probe_interval):
+        # every Nth call, score each non-exact group's leading <=32
+        # results against one f32 exact sweep and feed the measured
+        # recall to the bandit. Without it avg_recall defaults to 0.5
+        # for every arm and the latency weight alone would keep a fast
+        # wrong tier (bf16 ranking collapses on tight clusters).
+        interval = self.selector.cfg.recall_probe_interval
+        probe_due = interval > 0 and self._since_probe + 1 >= interval
+        self._since_probe = 0 if probe_due else self._since_probe + 1
         for strat, idxs in groups.items():
             qs = queries[idxs]
             t0 = time.perf_counter()
@@ -343,6 +388,17 @@ class AdaptiveHybridIndex:
                 out[qi] = results[j]
                 if len(results[j]) < want and success:
                     shortfall.append(qi)
+            grp_recall = 1.0 if strat == "exact" else 0.0
+            if probe_due and success and strat != "exact" and idxs:
+                np_ = min(32, len(idxs))
+                ok, _ = self._exact_call(qs[:np_], k, fast=False)
+                hits = tot = 0
+                for j in range(np_):
+                    oracle = {kk for kk in ok[j] if kk is not None}
+                    got = {kk for kk, _ in results[j]}
+                    hits += len(oracle & got)
+                    tot += len(oracle)
+                grp_recall = hits / tot if tot else 0.0
             if strat in self._warmed:
                 # stride-sample down to the window size (extra records
                 # would only be evicted from the deque anyway)
@@ -352,6 +408,7 @@ class AdaptiveHybridIndex:
                     self.selector.record(QueryMetrics(
                         strategy=strat, duration_s=dt,
                         result_count=len(r), success=success,
+                        recall=grp_recall,
                         distance_stats=DistanceStats.from_distances(
                             [d for _, d in r])))
             else:

@@ -285,3 +285,59 @@ def test_target_recall_one_means_exact_quality():
     h.batch_add(list(range(n)), v)
     res = h.search(v[7], k, target_recall=1.0)
     assert res[0][0] == 7 and res[0][1] < 1e-5
+
+
+def test_adaptive_exact_fast_capacity_tier():
+    """The bandit's exact_fast arm (bf16+approx+f32-rerank on the same
+    device table) serves correct top-k when the performance override
+    selects it."""
+    from hnsw_tpu.telemetry import QueryMetrics
+    v = make_vectors(400, 24, seed=103)
+    a = AdaptiveHybridIndex(
+        hybrid_config=HybridConfig(exact_threshold=100),
+        adaptive_config=AdaptiveConfig(exploration_factor=0.0,
+                                       min_samples_for_adaptation=10))
+    a.batch_add(list(range(400)), v)
+    # make exact_fast the clear performance winner
+    for _ in range(20):
+        a.selector.record(QueryMetrics(strategy="exact_fast",
+                                       duration_s=0.0005,
+                                       result_count=5, recall=0.99))
+        a.selector.record(QueryMetrics(strategy="hnsw", duration_s=0.05,
+                                       result_count=5, recall=0.9))
+    strategies = a.selector.select_strategies_batch(v[:8], 400, 24)
+    assert set(strategies) == {"exact_fast"}
+    out = a.batch_search(v[:8], 5)
+    assert [r[0][0] for r in out] == list(range(8))
+
+
+def test_adaptive_recall_probe_feeds_bandit():
+    """Every recall_probe_interval-th batch scores the served groups
+    against the f32 oracle and records MEASURED recall."""
+    v = make_vectors(600, 24, seed=104)
+    a = AdaptiveHybridIndex(
+        hybrid_config=HybridConfig(exact_threshold=100),
+        adaptive_config=AdaptiveConfig(exploration_factor=0.0,
+                                       initial_exact_threshold=100,
+                                       recall_probe_interval=1))
+    a.batch_add(list(range(600)), v)
+    # dataset_size > exact_threshold, dim < dim_threshold -> hnsw group
+    a.batch_search(v[:16], 5)   # warm-up (unrecorded)
+    a.batch_search(v[:16], 5)
+    st = a.get_stats()["strategies"].get("hnsw")
+    assert st is not None and st["avg_recall"] > 0.5, st
+
+
+def test_selector_score_penalizes_wrong_fast_tier():
+    """At comparable latency, measured recall decides arbitration: a
+    fast tier that lost ranking fidelity (clustered-data bf16 collapse)
+    must lose to the oracle tier."""
+    from hnsw_tpu.telemetry import QueryMetrics
+    sel = AdaptiveSelector(AdaptiveConfig(exploration_factor=0.0,
+                                          min_samples_for_adaptation=10))
+    for _ in range(20):
+        sel.record(QueryMetrics(strategy="exact_fast", duration_s=0.0019,
+                                result_count=10, recall=0.2))
+        sel.record(QueryMetrics(strategy="exact", duration_s=0.002,
+                                result_count=10, recall=1.0))
+    assert sel._select_by_performance() == "exact"
