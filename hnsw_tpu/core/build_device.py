@@ -27,6 +27,7 @@ The host arrays are synchronized ONCE at the end (single D2H).
 from __future__ import annotations
 
 import functools
+import math
 from typing import List, Optional, Tuple
 
 import jax
@@ -258,6 +259,31 @@ def _sparse_sync(host: host_build.HostGraph, nb0_dev, nbU_tabs,
         host.neighbors[l][rows, m_up:] = -1
 
 
+def _compact_upper_tables(host: host_build.HostGraph, lv_all: np.ndarray,
+                          cap_pad: int, L_all: int, m_up: int):
+    """Build the COMPACT jagged upper tables (DeviceGraph.nbr_upper /
+    upper_map) from final node levels: upper nodes ranked by DESCENDING
+    level so layer l occupies the prefix [0, U_l) of its right-sized
+    table. Returns (ups, u_counts, nbU_tabs, umap_dev); tabs/map are
+    None for single-layer graphs."""
+    ups = np.flatnonzero(lv_all >= 1)
+    ups = ups[np.argsort(-lv_all[ups], kind="stable")]
+    umap = np.full(cap_pad, -1, np.int32)
+    umap[ups] = np.arange(len(ups), dtype=np.int32)
+    u_counts = [int((lv_all >= l).sum()) for l in range(1, L_all)]
+    nbU_tabs = umap_dev = None
+    if L_all > 1:
+        nbU_tabs = []
+        for lyr in range(1, L_all):
+            u_l = u_counts[lyr - 1]
+            t = np.full((bucket_pow2(max(u_l, 1), 8), m_up), -1, np.int32)
+            if u_l:   # existing nodes' rows (new slots are still -1)
+                t[:u_l] = host.neighbors[lyr][ups[:u_l], :m_up]
+            nbU_tabs.append(jnp.asarray(t))
+        umap_dev = jnp.asarray(umap)
+    return ups, u_counts, nbU_tabs, umap_dev
+
+
 def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                        wave: int = 2048,
                        intra_k: Optional[int] = None,
@@ -292,14 +318,23 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     n_new = len(slots)
     if n_new == 0:
         return
-    # level sampling (same law as the host path)
-    levels = np.empty(n_new, np.int32)
-    for i in range(n_new):
-        cap_lvl = host_build.max_level(cfg.ml, host.count + i)
-        lvl = 0
-        while lvl < cap_lvl and host.rng.random() <= cfg.ml:
-            lvl += 1
-        levels[i] = lvl
+    # Level sampling, vectorized. The sequential law (host path /
+    # graph.go:370-417) is `while lvl < cap and rng() <= ml: lvl += 1`,
+    # i.e. P(lvl >= k) = ml^k capped at max_level of the graph size at
+    # insertion time; floor(log u / log ml) for one uniform u has
+    # exactly that tail (u <= ml^k <=> the ratio >= k), so ONE
+    # rng.random(n) draw replaces the per-node Python loop — which at
+    # 8M inserts is minutes of interpreter time on a slow host core.
+    # (Consumes a different rng stream count than the sequential loop:
+    # same-seed builds differ from pre-vectorization builds, same law.)
+    counts = host.count + np.arange(n_new, dtype=np.int64)
+    inv = math.log(1.0 / cfg.ml)
+    cap_lvl = np.where(
+        counts == 0, 1,
+        np.round(np.log(np.maximum(counts, 1)) / inv).astype(np.int64) + 1)
+    u = np.maximum(host.rng.random(n_new), 1e-300)
+    geom = np.floor(np.log(u) / math.log(cfg.ml)).astype(np.int64)
+    levels = np.minimum(geom, cap_lvl).astype(np.int32)
 
     start = 0
     if host.entry < 0:
@@ -339,21 +374,8 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     lv_all = np.full(cap_pad, -1, np.int32)
     lv_all[:ncap] = host.levels[:ncap]
     lv_all[slots] = levels
-    ups = np.flatnonzero(lv_all >= 1)
-    ups = ups[np.argsort(-lv_all[ups], kind="stable")]
-    umap = np.full(cap_pad, -1, np.int32)
-    umap[ups] = np.arange(len(ups), dtype=np.int32)
-    u_counts = [int((lv_all >= l).sum()) for l in range(1, L_all)]
-    nbU_tabs = umap_dev = None
-    if L_all > 1:
-        nbU_tabs = []
-        for lyr in range(1, L_all):
-            u_l = u_counts[lyr - 1]
-            t = np.full((bucket_pow2(max(u_l, 1), 8), m_up), -1, np.int32)
-            if u_l:   # existing nodes' rows (new slots are still -1)
-                t[:u_l] = host.neighbors[lyr][ups[:u_l], :m_up]
-            nbU_tabs.append(jnp.asarray(t))
-        umap_dev = jnp.asarray(umap)
+    ups, u_counts, nbU_tabs, umap_dev = _compact_upper_tables(
+        host, lv_all, cap_pad, L_all, m_up)
     levels_dev = jnp.asarray(pad_rows(host.levels[:ncap], -1, (cap_pad,)))
     alive_dev = levels_dev >= 0
     qvec_dev = qscale_dev = block_scale = None
@@ -616,21 +638,8 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
     nb0_dev = jnp.asarray(pad_rows(host.neighbors[0], -1, (cap_pad, Wd)))
     lv_all = np.full(cap_pad, -1, np.int32)
     lv_all[:ncap] = host.levels[:ncap]
-    ups = np.flatnonzero(lv_all >= 1)
-    ups = ups[np.argsort(-lv_all[ups], kind="stable")]
-    umap = np.full(cap_pad, -1, np.int32)
-    umap[ups] = np.arange(len(ups), dtype=np.int32)
-    u_counts = [int((lv_all >= l).sum()) for l in range(1, L_all)]
-    nbU_tabs = umap_dev = None
-    if L_all > 1:
-        nbU_tabs = []
-        for lyr in range(1, L_all):
-            u_l = u_counts[lyr - 1]
-            t = np.full((bucket_pow2(max(u_l, 1), 8), m_up), -1, np.int32)
-            if u_l:
-                t[:u_l] = host.neighbors[lyr][ups[:u_l], :m_up]
-            nbU_tabs.append(jnp.asarray(t))
-        umap_dev = jnp.asarray(umap)
+    ups, u_counts, nbU_tabs, umap_dev = _compact_upper_tables(
+        host, lv_all, cap_pad, L_all, m_up)
     levels_dev = jnp.asarray(pad_rows(host.levels[:ncap], -1, (cap_pad,)))
     alive_dev = levels_dev >= 0
     qvec_dev = qscale_dev = block_scale = None

