@@ -140,3 +140,27 @@ def test_vectorized_level_sampling_matches_sequential_law():
     # cap honored at tiny graph sizes
     lv0 = np.minimum(geom, 1)
     assert lv0.max() <= 1
+
+
+def test_compact_layout_after_deletes():
+    """Deleted nodes (level -1) drop out of the compact upper ranking;
+    search over the re-uploaded compact graph never returns them."""
+    n, d, k = 800, 24, 10
+    v = make_vectors(n, d, seed=57)
+    g = Graph(m=8, seed=0)
+    g.batch_add(list(range(n)), v)
+    # delete a high-level node specifically (stress the prefix ranking)
+    lv = g.host.levels
+    hi = int(np.argmax(lv[:n]))
+    dead = {hi, 3, 5, 7, 11}
+    g.batch_delete(sorted(dead))
+    g.split_layers = "compact"
+    g._dirty = True
+    dev = g.device_graph()
+    if dev.upper_map is not None:
+        umap = np.asarray(dev.upper_map)
+        assert (umap[sorted(dead)] == -1).all()
+    keys, _ = g.batch_search(v[:32], k, ef=64)
+    flat = {int(kk) for row in keys for kk in row if kk is not None}
+    assert not (flat & dead)
+    assert g.search(v[20], 1)[0][0] == 20
