@@ -353,6 +353,8 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
 
     # ---- one-time uploads -------------------------------------------------
     def pad_rows(a, fill, shape):
+        if a.shape == shape:
+            return a          # pow2-exact capacity: skip a GB-scale copy
         out = np.full(shape, fill, a.dtype)
         out[tuple(slice(0, s) for s in a.shape)] = a
         return out
@@ -624,6 +626,8 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
     Wd = host.neighbors.shape[2]
 
     def pad_rows(a, fill, shape):
+        if a.shape == shape:
+            return a          # pow2-exact capacity: skip a GB-scale copy
         out = np.full(shape, fill, a.dtype)
         out[tuple(slice(0, s) for s in a.shape)] = a
         return out
