@@ -304,13 +304,16 @@ class Graph:
         vectors = np.asarray(vectors, np.float32)
         if len(keys) != len(vectors):
             raise ValueError("keys/vectors length mismatch")
-        if len(set(keys)) != len(keys):
+        key_set = set(keys)
+        if len(key_set) != len(keys):
             raise ValueError("duplicate keys in build batch")
-        for k in keys:
-            if k in self.slots:
-                self.delete(k)
-        slot_list = np.asarray([self.slots.assign(k)[0] for k in keys],
-                               np.int64)
+        # set-intersect ONCE instead of 8M per-key `in` probes, and
+        # route fresh keys through SlotMap.assign_fresh_batch — the
+        # per-key Python assign loop was the dominant host cost of an
+        # 8M build on a slow core (~tens of minutes of dict calls).
+        for k in (self.slots.key_to_slot.keys() & key_set):
+            self.delete(k)
+        slot_list = self.slots.assign_fresh_batch(list(keys))
         self.store.put_batch(slot_list, vectors)
         if method == "auto":
             from hnsw_tpu import native
