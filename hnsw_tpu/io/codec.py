@@ -12,12 +12,15 @@ arrays. We keep the reference's durable ideas:
   * an imported graph "converges onto" the hyper-params of the file
     (encode.go:178-179)
 
-Format: numpy .npz (compressed) + a JSON config entry + a tagged-JSON
-key table (io/table.key_to_json — injective and code-exec-safe, unlike
-pickle; matches the reference's safe binary codec posture, encode.go).
-Version-1 checkpoints stored keys with pickle; loading those requires
-an explicit ``allow_pickle=True`` opt-in because unpickling untrusted
-data executes arbitrary code.
+Format: numpy .npz (uncompressed by default — zlib over GB-scale random
+f32 buys ~5% and costs minutes; ``compress=True`` restores it) + a JSON
+config entry + a key table. Plain-int key tables (v3) ship as one int64
+array + None mask; anything else uses tagged JSON (io/table.key_to_json
+— injective and code-exec-safe, unlike pickle; matches the reference's
+safe binary codec posture, encode.go). Version-1 checkpoints stored
+keys with pickle; loading those requires an explicit
+``allow_pickle=True`` opt-in because unpickling untrusted data executes
+arbitrary code.
 """
 
 from __future__ import annotations
@@ -32,13 +35,21 @@ from typing import Any, Optional
 
 import numpy as np
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
-def export_graph(graph, fileobj) -> None:
+def export_graph(graph, fileobj, compress: bool = False) -> None:
     """Serialize a Graph to a writable binary stream — the stream-based
-    twin of save_graph (reference Graph.Export(w), encode.go:133)."""
-    np.savez_compressed(fileobj, **_payload(graph))
+    twin of save_graph (reference Graph.Export(w), encode.go:133).
+
+    ``compress`` is off by default: zlib over multi-GB float32 vector
+    tables buys ~5% on random embeddings and costs minutes of
+    single-core CPU at 8M rows; turn it on for small or highly
+    redundant graphs."""
+    if compress:
+        np.savez_compressed(fileobj, **_payload(graph))
+    else:
+        np.savez(fileobj, **_payload(graph))
 
 
 def import_graph(fileobj, config=None, allow_pickle: bool = False):
@@ -64,15 +75,33 @@ def _payload(graph) -> dict:
     n = graph.slots.capacity_used
     host = graph.host
     ncap = min(n, host.neighbors.shape[1]) if n else 0
+    # Key-table encoding: plain-int key tables (the bulk-ingest common
+    # case) ship as ONE int64 array + a None mask — the per-key
+    # tagged-JSON path costs minutes of Python at 8M keys. Mixed/exotic
+    # keys keep the injective tagged-JSON codec (io/table.key_to_json).
+    s2k = graph.slots.slot_to_key
+    all_int = all(k is None or (type(k) is int and -2**63 <= k < 2**63)
+                  for k in s2k)
+    if all_int:
+        key_entries = {
+            "keys_int": np.asarray([-1 if k is None else k for k in s2k],
+                                   np.int64),
+            "keys_none": np.asarray([k is None for k in s2k], bool),
+            "keys_free": np.asarray(graph.slots.free, np.int64),
+        }
+    else:
+        key_entries = {
+            "keys_json": np.frombuffer(json.dumps({
+                "slot_to_key": [None if k is None else T.key_to_json(k)
+                                for k in s2k],
+                "free": [int(s) for s in graph.slots.free],
+            }).encode(), dtype=np.uint8),
+        }
     payload = {
         "version": np.int64(FORMAT_VERSION),
         "config": np.frombuffer(json.dumps(
             dataclasses.asdict(cfg)).encode(), dtype=np.uint8),
-        "keys_json": np.frombuffer(json.dumps({
-            "slot_to_key": [None if k is None else T.key_to_json(k)
-                            for k in graph.slots.slot_to_key],
-            "free": [int(s) for s in graph.slots.free],
-        }).encode(), dtype=np.uint8),
+        **key_entries,
         "vectors": (graph.store.vectors[:n] if n else
                     np.zeros((0, 0), np.float32)),
         "alive": (graph.store.alive[:n] if n else np.zeros((0,), bool)),
@@ -85,14 +114,18 @@ def _payload(graph) -> dict:
     return payload
 
 
-def save_graph(graph, path: str) -> None:
-    """Atomically write a Graph checkpoint to ``path``."""
+def save_graph(graph, path: str, compress: bool = False) -> None:
+    """Atomically write a Graph checkpoint to ``path`` (see
+    export_graph for the ``compress`` trade-off)."""
     payload = _payload(graph)
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez_compressed(f, **payload)
+            if compress:
+                np.savez_compressed(f, **payload)
+            else:
+                np.savez(f, **payload)
         os.replace(tmp, path)  # atomic (renameio semantics)
     except BaseException:
         try:
@@ -127,7 +160,15 @@ def _load(z, config=None, allow_pickle: bool = False):
             f"checkpoint version {version} newer than supported "
             f"{FORMAT_VERSION}")
     stored_cfg = json.loads(bytes(z["config"].tobytes()).decode())
-    if "keys_json" in z.files:
+    if "keys_int" in z.files:
+        vals = z["keys_int"].tolist()        # one pass -> Python ints
+        nones = z["keys_none"]
+        key_table = {
+            "slot_to_key": [None if nones[i] else vals[i]
+                            for i in range(len(vals))],
+            "free": z["keys_free"].tolist(),
+        }
+    elif "keys_json" in z.files:
         raw = json.loads(bytes(z["keys_json"].tobytes()).decode())
         key_table = {
             "slot_to_key": [None if j is None else T.key_from_json(j)

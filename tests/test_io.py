@@ -367,3 +367,39 @@ def test_incremental_reopen_recall_parity(tmp_path):
     r_inc, r_fresh = rec(g2.graph), rec(fresh)
     assert r_inc >= r_fresh - 0.05, (r_inc, r_fresh)
     g2._stop_flusher.set()
+
+
+def test_codec_int_key_fast_path_and_mixed_fallback(tmp_path):
+    """v3 checkpoints store plain-int key tables as one int64 array
+    (8M-key graphs were minutes of per-key JSON); mixed keys keep the
+    tagged-JSON codec. Both round-trip identically."""
+    import numpy as np
+    from hnsw_tpu import Graph
+    from hnsw_tpu.io.codec import load_graph, save_graph
+    from tests.conftest import make_vectors
+
+    v = make_vectors(60, 8, seed=77)
+    g = Graph(m=8, seed=0)
+    g.batch_add(list(range(40)), v[:40])
+    g.delete(3)                       # populate the free list
+    p = str(tmp_path / "ints.npz")
+    save_graph(g, p)
+    with np.load(p) as z:
+        assert "keys_int" in z.files and "keys_json" not in z.files
+    g2 = load_graph(p)
+    assert sorted(k for k in g2.slots.slot_to_key if k is not None) \
+        == sorted(k for k in g.slots.slot_to_key if k is not None)
+    assert all(type(k) is int for k in g2.slots.slot_to_key
+               if k is not None)
+    assert g2.search(v[7], 1)[0][0] == 7
+    assert g2.slots.free == g.slots.free
+
+    gm = Graph(m=8, seed=0)
+    gm.batch_add([1, "a", (2, "b")] + list(range(10, 30)), v[:23])
+    pm = str(tmp_path / "mixed.npz")
+    save_graph(gm, pm)
+    with np.load(pm) as z:
+        assert "keys_json" in z.files
+    gm2 = load_graph(pm)
+    assert gm2.search(v[1], 1)[0][0] == "a"
+    assert set(gm2.slots.slot_to_key) >= {1, "a", (2, "b")}
