@@ -32,6 +32,41 @@ def emit(rec):
     print(json.dumps(rec), flush=True)
 
 
+def make_data_device(n, d, n_q, seed=0, base_too=True):
+    """Clustered stand-in generated ON DEVICE (jax.random), pulled to
+    host in chunks. The host path below costs ~80 min at 8M x 128 on a
+    slow single-core host (~170k gaussians/s measured); the device
+    generates a 1M-row chunk in milliseconds and the D2H pull is
+    link-bound (~25-30 MB/s relay), ~3 min total at 8M."""
+    import jax
+    import jax.numpy as jnp
+    n_c = max(1, n // 100)
+    key = jax.random.PRNGKey(seed)
+    kc, kq, kb = jax.random.split(key, 3)
+    centers = jax.random.normal(kc, (n_c, d), jnp.float32) * 5
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def chunk(k, m):
+        ka, kn = jax.random.split(k)
+        asg = jax.random.randint(ka, (m,), 0, n_c)
+        return centers[asg] + 0.3 * jax.random.normal(kn, (m, d),
+                                                      jnp.float32)
+
+    base = None
+    if base_too:
+        base = np.empty((n, d), np.float32)
+        step = 1 << 20
+        keys = jax.random.split(kb, -(-n // step))
+        for i, c0 in enumerate(range(0, n, step)):
+            m = min(step, n - c0)
+            out = chunk(keys[i], m=step)    # fixed shape: one compile
+            base[c0:c0 + m] = np.asarray(out[:m])
+    queries = np.asarray(chunk(kq, m=n_q))
+    return base, queries
+
+
 def make_data(n, d, n_q, seed=0, base_too=True):
     """Clustered stand-in, chunked generation (datasets.synthetic_standin
     materializes intermediates; at 8M that is several extra GB).
@@ -79,7 +114,9 @@ def main():
     from hnsw_tpu.ops.topk import exact_topk
 
     t0 = time.perf_counter()
-    data, queries = make_data(n, d, B, base_too=what != "serve")
+    gen = (make_data if os.environ.get("HNSW_TPU_HOST_GEN")
+           else make_data_device)
+    data, queries = gen(n, d, B, base_too=what != "serve")
     print(f"# data gen: {time.perf_counter() - t0:.0f}s", flush=True)
 
     if what in ("build", "all"):
