@@ -36,6 +36,7 @@ import numpy as np
 
 from hnsw_tpu.config import canonical_metric
 from hnsw_tpu.core import host_build
+from hnsw_tpu.utils.transfer import chunked_put
 from hnsw_tpu.core.build import (_diverse_select_dev, construction_descent)
 from hnsw_tpu.core.state import DeviceGraph, bucket_pow2
 from hnsw_tpu.ops.distance import INF_DIST, pairwise_dist
@@ -246,7 +247,8 @@ def _sparse_sync(host: host_build.HostGraph, nb0_dev, nbU_tabs,
     occupancy of layer l.
     """
     L_all = host.neighbors.shape[0]
-    host.neighbors[0][:] = np.asarray(nb0_dev[:ncap])
+    from hnsw_tpu.utils.transfer import chunked_get
+    chunked_get(nb0_dev[:ncap], out=host.neighbors[0])
     for l in range(1, L_all):
         host.neighbors[l][:ncap] = -1
         u_l = u_counts[l - 1] if nbU_tabs is not None else 0
@@ -359,8 +361,8 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
         out[tuple(slice(0, s) for s in a.shape)] = a
         return out
 
-    vectors_dev = jnp.asarray(pad_rows(
-        store.vectors[:ncap], 0, (cap_pad, store.dim)))
+    vectors_dev = chunked_put(store.vectors[:ncap], 0,
+                              shape=(cap_pad, store.dim))
     sq_dev = jnp.asarray(pad_rows(store.sq_norms[:ncap], 0, (cap_pad,)))
     # COMPACT upper storage (DeviceGraph.nbr_upper): layer 0 at the
     # full degree; uppers as jagged per-layer tables indexed by
@@ -372,7 +374,7 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     # stack before it was 5.9 GB at 8M; the [L, cap, Wd] stack before
     # THAT was the 4M blocker).
     m_up = cfg.m
-    nb0_dev = jnp.asarray(pad_rows(host.neighbors[0], -1, (cap_pad, Wd)))
+    nb0_dev = chunked_put(host.neighbors[0], -1, shape=(cap_pad, Wd))
     lv_all = np.full(cap_pad, -1, np.int32)
     lv_all[:ncap] = host.levels[:ncap]
     lv_all[slots] = levels
@@ -386,7 +388,7 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
         gs = float(np.abs(store.vectors[:ncap]).max()) / 127.0 or 1.0
         qh = np.clip(np.rint(store.vectors[:ncap] / gs),
                      -127, 127).astype(np.int8)
-        qvec_dev = jnp.asarray(pad_rows(qh, 0, (cap_pad, store.dim)))
+        qvec_dev = chunked_put(qh, 0, shape=(cap_pad, store.dim))
         qscale_dev = jnp.asarray(np.full((cap_pad,), gs, np.float32))
         block_scale = jnp.asarray(np.float32(gs))
         if block_m is None and cap_pad * Wd * store.dim > 5 * 1024 ** 3:
@@ -632,14 +634,14 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
         out[tuple(slice(0, s) for s in a.shape)] = a
         return out
 
-    vectors_dev = jnp.asarray(pad_rows(
-        store.vectors[:ncap], 0, (cap_pad, store.dim)))
+    vectors_dev = chunked_put(store.vectors[:ncap], 0,
+                              shape=(cap_pad, store.dim))
     sq_dev = jnp.asarray(pad_rows(store.sq_norms[:ncap], 0, (cap_pad,)))
     # compact jagged upper storage, mirroring bulk_insert_device
     # (levels are fixed during refinement, so the level-ranked
     # assignment comes straight from the host levels)
     m_up = cfg.m
-    nb0_dev = jnp.asarray(pad_rows(host.neighbors[0], -1, (cap_pad, Wd)))
+    nb0_dev = chunked_put(host.neighbors[0], -1, shape=(cap_pad, Wd))
     lv_all = np.full(cap_pad, -1, np.int32)
     lv_all[:ncap] = host.levels[:ncap]
     ups, u_counts, nbU_tabs, umap_dev = _compact_upper_tables(
@@ -652,7 +654,7 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
         gs = float(np.abs(store.vectors[:ncap]).max()) / 127.0 or 1.0
         qh = np.clip(np.rint(store.vectors[:ncap] / gs),
                      -127, 127).astype(np.int8)
-        qvec_dev = jnp.asarray(pad_rows(qh, 0, (cap_pad, store.dim)))
+        qvec_dev = chunked_put(qh, 0, shape=(cap_pad, store.dim))
         qscale_dev = jnp.asarray(np.full((cap_pad,), gs, np.float32))
         block_scale = jnp.asarray(np.float32(gs))
         if block_m is None and cap_pad * Wd * store.dim > 5 * 1024 ** 3:

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hnsw_tpu.utils.transfer import chunked_put
+
 
 class DeviceGraph(NamedTuple):
     vectors: jnp.ndarray   # [cap, D] float32 (or bfloat16 store)
@@ -305,11 +307,15 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
             s = np.full((vectors.shape[0],), gscale, np.float32)
         else:
             q, s = quantize_rows(vectors.astype(np.float32))
-        qvec = jnp.asarray(pad_rows(q, 0))
+        qvec = chunked_put(q, 0, shape=(cap, q.shape[1]))
         qscale = jnp.asarray(pad_rows(s, 0))
 
     if hbm_vectors:
-        vec_dev = jnp.asarray(pad_rows(vectors.astype(store_dtype), 0))
+        # chunked upload: bounds every relay transfer AND skips the
+        # full-size host astype/pad copies (utils/transfer.py)
+        vec_dev = chunked_put(vectors, 0,
+                              shape=(cap, vectors.shape[1]),
+                              dtype=store_dtype)
     else:
         dim = vectors.shape[1] if vectors.ndim == 2 and vectors.size else 1
         vec_dev = jnp.zeros((1, dim), jnp.float32)
@@ -325,7 +331,7 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
             out[:, : a.shape[1]] = a
             return out
 
-        nb_dev = jnp.asarray(pad3(nb[:1], -1))
+        nb_dev = chunked_put(nb[0], -1, shape=(cap, nb.shape[2]))[None]
         if split_layers == "compact":
             # jagged per-layer tables indexed by level-descending rank:
             # layer l's nodes occupy rows [0, U_l) of EVERY table, so
@@ -358,8 +364,9 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
             # int8 cannot rank this data (tight clusters); gather the
             # blocks from a transient fp16 copy instead — 2x the block
             # bytes, full within-cluster resolution.
-            h16 = jnp.asarray(pad_rows(
-                vectors.astype(np.float16), 0))
+            h16 = chunked_put(vectors, 0,
+                              shape=(cap, vectors.shape[1]),
+                              dtype=np.float16)
             nbr_blocks = _gather_blocks(h16, nb_dev[0], block_m=block_m)
             del h16
             block_scale = jnp.asarray(np.float32(1.0))
