@@ -87,7 +87,13 @@ class GraphConfig:
     #: few extra distance evals for proportionally fewer (fatter) hops —
     #: the right trade on an MXU.
     search_expand: int = 4
-    #: dtype for on-device vector storage ("float32" or "bfloat16").
+    #: dtype for on-device vector storage: "float32" (default),
+    #: "float16" (graph-tier capacity mode — halves HBM AND the
+    #: row-gather bytes of the traversal hop; 11 mantissa bits rank
+    #: tightly clustered data where int8/bfloat16 fail, the same
+    #: physics as the fp16 neighbor-block finding), or "bfloat16"
+    #: (spread-out data only). Norms stay f32 from the host store, so
+    #: only the vector components round.
     store_dtype: str = "float32"
 
     def validate(self) -> None:
@@ -106,7 +112,7 @@ class GraphConfig:
         if self.m0 is not None and self.m0 < self.m:
             raise ValueError(f"m0 ({self.m0}) must be >= m ({self.m})")
         canonical_metric(self.metric)
-        if self.store_dtype not in ("float32", "bfloat16"):
+        if self.store_dtype not in ("float32", "float16", "bfloat16"):
             raise ValueError(f"bad store_dtype {self.store_dtype}")
 
     def replace(self, **kw) -> "GraphConfig":

@@ -133,6 +133,13 @@ def _score_hop(g: DeviceGraph, queries, q_sq, nb_safe, metric, precision):
         return jnp.sqrt(d) if metric == "l2" else d
     cand_vecs = g.vectors[nb_safe]
     cand_sq = g.sq_norms[nb_safe]
+    if cand_vecs.dtype == jnp.float16:
+        # fp16 capacity store: its whole value is the 11 mantissa bits
+        # that route through tight clusters — don't let fast_math's
+        # DEFAULT precision round the scoring pass back to bf16. The
+        # hop is gather-bound; the einsum cost difference is noise
+        # (same finding as the fp16 neighbor-block path above).
+        precision = jax.lax.Precision.HIGHEST
     return gathered_dist(queries, cand_vecs, cand_sq, q_sq,
                          metric=metric, precision=precision)
 

@@ -216,6 +216,13 @@ class Graph:
         """HBM residency of the vector store.
 
         "full"      — f32 vectors in HBM (default).
+        "float16"   — fp16 traversal store + exact f32 host rerank of
+          the pool head. Half the HBM and half the row-gather bytes of
+          "full", with enough mantissa (11 bits) to ROUTE through
+          tightly clustered data where int8 misranks; the host rerank
+          removes the residual fp16 head-ordering noise (measured:
+          fp16 traversal alone costs ~7 recall points on tight
+          clusters at ef=192 — the rerank restores f32 ordering).
         "quantized" — HBM holds ONLY the int8 traversal store (+ graph
           structure); raw vectors stay in ``self.store`` (RAM or an
           io.mmap_store.MmapVectorStore on disk) and the pool head is
@@ -227,13 +234,13 @@ class Graph:
 
     @hbm_mode.setter
     def hbm_mode(self, mode: str) -> None:
-        if mode not in ("full", "quantized"):
+        if mode not in ("full", "float16", "quantized"):
             raise ValueError(f"bad hbm_mode {mode!r}")
         from hnsw_tpu.ops.distance import registered
-        if mode == "quantized" and registered(self.metric) is not None:
+        if mode != "full" and registered(self.metric) is not None:
             raise ValueError(
-                "hbm_mode='quantized' unsupported for custom metrics "
-                "(they score raw vectors)")
+                f"hbm_mode={mode!r} unsupported for custom metrics "
+                "(the host rerank scores built-in metrics only)")
         if mode != self._hbm_mode:
             self._hbm_mode = mode
             self._dirty = True
@@ -412,8 +419,11 @@ class Graph:
             hcap = nb.shape[1]
             use = min(hcap, cap)
             import ml_dtypes
-            sd = (ml_dtypes.bfloat16 if self.cfg.store_dtype == "bfloat16"
-                  else np.float32)
+            sd = {"bfloat16": ml_dtypes.bfloat16,
+                  "float16": np.float16}.get(self.cfg.store_dtype,
+                                             np.float32)
+            if self._hbm_mode == "float16":
+                sd = np.float16
             vecs = (self.store.vectors[:use]
                     if self.store.vectors is not None
                     else np.zeros((0, 1), np.float32))
@@ -489,7 +499,7 @@ class Graph:
                                    s=min(self.seed_width, pool),
                                    metric=self.metric,
                                    fast_math=self.fast_math)
-        if self._hbm_mode == "quantized":
+        if self._hbm_mode in ("quantized", "float16"):
             # traversal-ordered pool head off device; exact rerank on
             # host against the (possibly disk-resident) store
             R = min(max(2 * k, 32), max(pool, k))
