@@ -5,10 +5,15 @@ scan loses ranking fidelity (tight clusters) and the f32 oracle is
 bandwidth-bound — the graph tier with compact jagged upper storage
 (core/state.DeviceGraph.nbr_upper tuple) is the contender.
 
-Usage: big_clustered.py [N] [wave] [build|serve|all]
+Usage: big_clustered.py [N] [wave] [build|serve|all] [f32|fp16]
   build — generate clustered data, device-build, cache to /tmp
   serve — reload cache, measure exact f32 / fast exact / graph ladder
   all   — both (one process: no relay re-warm between phases)
+  fp16  — descent_dtype="float16" build + hbm_mode="float16" serving
+          (half the HBM table: the 16M single-chip regime, where the
+          f32 table alone is 8.6 GB). Ground truth comes from an fp16
+          device scan at k+8 reranked exact-f32 on host (containment
+          margin >> fp16 noise at these separations).
 
 Appends JSON rows to benchmarks/results_tpu_r3.jsonl.
 """
@@ -96,12 +101,66 @@ def make_data(n, d, n_q, seed=0, base_too=True):
     return base, queries
 
 
+def _serve_fp16(g, queries, n, k, B, emit):
+    """hbm_mode="float16" capacity serving: fp16 traversal store +
+    exact f32 host rerank. GT = fp16 device scan at k+8 reranked
+    exact-f32 on host (fp16 noise ~5e-4 << within-cluster separations
+    ~4e-3, so k+8 containment holds; the rerank restores f32 order)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from hnsw_tpu.ops.topk import exact_topk
+    from hnsw_tpu.utils.rerank import host_rerank
+
+    g.fast_math = True
+    g.hbm_mode = "float16"
+    g.native_serve_max_batch = 0
+    g.entry_mode = "pivots"
+    dev = g.device_graph()           # fp16 store in HBM
+    assert str(dev.vectors.dtype) == "float16", dev.vectors.dtype
+    q = jnp.asarray(queries)
+
+    def scan():
+        _, ii = exact_topk(q, dev.vectors, dev.sq_norms, dev.alive,
+                           k=k + 8, metric="cosine")
+        ii.block_until_ready()
+        return ii
+    ii = scan()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        ii = scan()
+    scan_dt = (time.perf_counter() - t0) / 3
+    t0 = time.perf_counter()
+    _, gt = host_rerank(g.store, "cosine", queries, np.asarray(ii), k)
+    rr_dt = time.perf_counter() - t0
+    emit({"op": "exact_fp16_rerank", "n": n, "kind": "clustered",
+          "qps": round(B / (scan_dt + rr_dt)), "recall": 1.0,
+          "note": "fp16 scan k+8 + f32 host rerank (the GT oracle)"})
+
+    def rec(slots):
+        return round(sum(len(set(map(int, slots[r])) &
+                             set(map(int, gt[r])))
+                         for r in range(B)) / (B * k), 4)
+
+    for ef in (96, 192, 384, 768):
+        g.batch_search_slots(queries, k, ef=ef)         # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _, si = g.batch_search_slots(queries, k, ef=ef)
+        dt = (time.perf_counter() - t0) / 3
+        emit({"op": "hnsw_fp16_piv", "n": n, "kind": "clustered",
+              "ef": ef, "qps": round(B / dt), "recall": rec(si)})
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_388_608
     wave = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
     what = sys.argv[3] if len(sys.argv) > 3 else "all"
+    fp16 = len(sys.argv) > 4 and sys.argv[4] == "fp16"
     d, k, B = 128, 10, 1024
-    cache = f"/tmp/gbig_clustered_{n}.npz"
+    cache = f"/tmp/gbig_clustered_{n}{'_fp16' if fp16 else ''}.npz"
 
     if os.environ.get("HNSW_TPU_FORCE_CPU"):
         import jax
@@ -123,10 +182,12 @@ def main():
         g = Graph(m=16, ef_search=20, metric="cosine", seed=0)
         t0 = time.perf_counter()
         g.build(list(range(n)), data, wave=wave, method="device",
-                quant_descent=False)
+                quant_descent=False,
+                descent_dtype="float16" if fp16 else "float32")
         build_s = time.perf_counter() - t0
         emit({"op": "device_build", "n": n, "wave": wave,
               "kind": "clustered", "quant_descent": False,
+              "descent_dtype": "float16" if fp16 else "float32",
               "compact_upper": True, "seconds": round(build_s, 1)})
         try:
             from hnsw_tpu.io.codec import save_graph
@@ -143,6 +204,10 @@ def main():
         t0 = time.perf_counter()
         g = load_graph(cache)
         print(f"# cache load: {time.perf_counter() - t0:.0f}s", flush=True)
+
+    if fp16:
+        _serve_fp16(g, queries, n, k, B, emit)
+        return
 
     # ---- serving: exact f32 oracle (ground truth + oracle qps) ---------
     g.fast_math = True

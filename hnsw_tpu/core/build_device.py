@@ -290,7 +290,8 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                        wave: int = 2048,
                        intra_k: Optional[int] = None,
                        quant_descent: bool = False,
-                       block_m: Optional[int] = None) -> None:
+                       block_m: Optional[int] = None,
+                       descent_dtype: str = "float32") -> None:
     """Device-resident wave insertion; syncs host arrays once at the end.
 
     ``quant_descent`` gives the construction descent the int8
@@ -301,6 +302,15 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     benchmarks/exp/hop_micro3.py). Edge SELECTION still scores raw-f32
     at HIGHEST precision (_diverse_select_dev / _reverse_update), so
     only the candidate pool ordering sees quantization noise.
+
+    ``descent_dtype="float16"`` uploads the HBM vector table as fp16 —
+    half the table bytes AND half the row-gather bytes of the descent
+    (gathers are row-granularity-bound), with enough mantissa to rank
+    tightly clustered data where int8 fails. Every scoring op casts to
+    f32 on-chip and the fp16 gather path forces Precision.HIGHEST
+    (core/search._score_hop), so only the one-time fp16 rounding of
+    the stored components is lost. This is the 16M+ single-chip build
+    enabler (a 16.8M x 128 f32 table alone is 8.6 GB).
     """
     cfg = host.cfg
     metric = canonical_metric(host.metric)
@@ -361,8 +371,9 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
         out[tuple(slice(0, s) for s in a.shape)] = a
         return out
 
-    vectors_dev = chunked_put(store.vectors[:ncap], 0,
-                              shape=(cap_pad, store.dim))
+    vectors_dev = chunked_put(
+        store.vectors[:ncap], 0, shape=(cap_pad, store.dim),
+        dtype=np.float16 if descent_dtype == "float16" else np.float32)
     sq_dev = jnp.asarray(pad_rows(store.sq_norms[:ncap], 0, (cap_pad,)))
     # COMPACT upper storage (DeviceGraph.nbr_upper): layer 0 at the
     # full degree; uppers as jagged per-layer tables indexed by

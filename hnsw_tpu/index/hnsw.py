@@ -292,7 +292,8 @@ class Graph:
     def build(self, keys: Sequence[Hashable], vectors,
               wave: int = 1024, method: str = "auto",
               quant_descent: bool = False,
-              block_m: Optional[int] = None) -> None:
+              block_m: Optional[int] = None,
+              descent_dtype: str = "float32") -> None:
         """Bulk construction. Existing keys are replaced; duplicate keys
         within the batch are an error.
 
@@ -307,6 +308,10 @@ class Graph:
         first block_m edges per row (HBM knob for 2M+ single-chip
         builds; None = full rows, auto-halved when full blocks would
         exceed ~5 GB).
+
+        ``descent_dtype="float16"`` halves the device builder's HBM
+        vector table and its descent gather bytes (the 16M+
+        single-chip knob; see core/build_device.bulk_insert_device).
         """
         vectors = np.asarray(vectors, np.float32)
         if len(keys) != len(vectors):
@@ -332,7 +337,8 @@ class Graph:
             from hnsw_tpu.core.build_device import bulk_insert_device
             bulk_insert_device(self.host, slot_list, wave=wave,
                                quant_descent=quant_descent,
-                               block_m=block_m)
+                               block_m=block_m,
+                               descent_dtype=descent_dtype)
         self._block_fit_cache = None   # bulk data change: re-check fit
         self._mut_since_fit = 0
         self._dirty = True

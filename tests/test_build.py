@@ -213,3 +213,37 @@ def test_device_build_wave_clamped():
         g.build(list(range(n)), v, method="device", wave=32768)
     assert any("clamped" in str(x.message) for x in w)
     assert g.search(v[7], 1)[0][0] == 7
+
+
+def test_fp16_descent_matches_f32_descent_quality():
+    """descent_dtype="float16" (the 16M+ single-chip build knob) must
+    not cost build quality: fp16 rounds the stored components once
+    (~5e-4 relative) while edge selection still scores in f32, so the
+    built graph serves within noise of the f32-descent build."""
+    import numpy as np
+
+    from hnsw_tpu import Graph
+    from hnsw_tpu.ops.topk import np_exact_topk
+
+    rng = np.random.default_rng(5)
+    n, d, k = 3000, 48, 10
+    n_c = 30
+    centers = rng.standard_normal((n_c, d)).astype(np.float32) * 5
+    data = (centers[rng.integers(0, n_c, n)]
+            + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    q = (centers[rng.integers(0, n_c, 64)]
+         + 0.3 * rng.standard_normal((64, d)).astype(np.float32))
+    gt = np_exact_topk(q, data, k, "cosine")[1]
+
+    def build_and_recall(dtype):
+        g = Graph(seed=0)
+        g.build(list(range(n)), data, method="device", wave=1024,
+                descent_dtype=dtype)
+        g.native_serve_max_batch = 0
+        keys, _ = g.batch_search(q, k, ef=192)
+        return sum(len(set(keys[r]) & set(map(int, gt[r])))
+                   for r in range(64)) / (64 * k)
+
+    r32 = build_and_recall("float32")
+    r16 = build_and_recall("float16")
+    assert r16 >= r32 - 0.03, (r16, r32)
