@@ -160,7 +160,11 @@ def main():
     what = sys.argv[3] if len(sys.argv) > 3 else "all"
     fp16 = len(sys.argv) > 4 and sys.argv[4] == "fp16"
     d, k, B = 128, 10, 1024
-    cache = f"/tmp/gbig_clustered_{n}{'_fp16' if fp16 else ''}.npz"
+    # one cache per N: the serving mode (f32 ladder vs fp16 tier) is
+    # orthogonal to how the graph was built, so `serve fp16` can reuse
+    # an f32-descent build and vice versa (the build row records the
+    # descent dtype).
+    cache = f"/tmp/gbig_clustered_{n}.npz"
 
     if os.environ.get("HNSW_TPU_FORCE_CPU"):
         import jax
