@@ -149,10 +149,11 @@ class HybridConfig:
     #: >=0.999 vs oracle). False keeps the exact tier exact.
     fast_exact: bool = False
     #: exact-tier HBM table precision: "float32" (default), the
-    #: capacity modes "bf16" / "int8" (reduced-precision scan + f32
-    #: host rerank; 20M/33M rows per 16 GB chip — index/exact.py), or
-    #: "auto" (fidelity-ladder check picks the smallest rung that can
-    #: rank the data).
+    #: capacity modes "bf16" / "fp16" / "int8" (reduced-precision scan
+    #: + f32 host rerank; 20M/20M/33M rows per 16 GB chip —
+    #: index/exact.py; fp16 = bf16's bytes with 8x the mantissa, for
+    #: tight clusters), or "auto" (fidelity-ladder check picks the
+    #: smallest rung that can rank the data).
     exact_hbm_dtype: str = "float32"
 
     def validate(self) -> None:
@@ -171,8 +172,8 @@ class HybridConfig:
                 raise ValueError(f"bad ivf_nprobe {self.ivf_nprobe!r}")
         elif self.ivf_nprobe <= 0:
             raise ValueError("ivf_nprobe must be > 0 or 'auto'")
-        if self.exact_hbm_dtype not in ("float32", "bf16", "int8",
-                                        "auto"):
+        if self.exact_hbm_dtype not in ("float32", "bf16", "fp16",
+                                        "int8", "auto"):
             raise ValueError(
                 f"bad exact_hbm_dtype {self.exact_hbm_dtype!r}")
         canonical_metric(self.metric)

@@ -51,11 +51,16 @@ class ExactIndex:
         #: neighbor-block finding, core/state._int8_block_fit).  The
         #: scan nominates k+margin candidates, one batched host fetch
         #: restores exact f32 ordering (utils/rerank.host_rerank).
-        #: "auto" walks the fidelity ladder int8 -> bf16 -> float32
-        #: with a full-density, arithmetic-faithful containment check
-        #: (_reduced_fit) — clustered embeddings fall to the first rung
-        #: that can actually rank them.
-        if hbm_dtype not in ("float32", "bf16", "int8", "auto"):
+        #: "fp16" is the tight-cluster capacity rung: same 2 bytes/dim
+        #: as bf16 but 11 significand bits (~8x finer), scored at
+        #: bf16x3 precision — rescues data whose within-cluster
+        #: separations drown in bf16 rounding from paying f32 capacity
+        #: (the graph tier's hbm_mode="float16" twin).
+        #: "auto" walks the fidelity ladder int8 -> bf16 -> fp16 ->
+        #: float32 with a full-density, arithmetic-faithful containment
+        #: check (_reduced_fit) — clustered embeddings fall to the
+        #: first rung that can actually rank them.
+        if hbm_dtype not in ("float32", "bf16", "fp16", "int8", "auto"):
             raise ValueError(f"bad hbm_dtype {hbm_dtype!r}")
         self.hbm_dtype = hbm_dtype
         self._resolved_hbm = hbm_dtype
@@ -140,12 +145,19 @@ class ExactIndex:
             qr = rows.astype(np.float32)
             kk = k + max(4, k // 8)
         # model the DEVICE scan's arithmetic, not an idealized f32
-        # dequant: both matmul operands are rounded to bf16 (int8 rows
-        # are dequantized to bf16 on device) with f32 accumulation, and
-        # the epilogue uses the EXACT stored sq norms.  An f32-dequant
-        # check passed data the bf16 MXU path then served at 0.12-0.74.
-        qr = qr.astype(ml_dtypes.bfloat16).astype(np.float32)
-        prq = pr.astype(ml_dtypes.bfloat16).astype(np.float32)
+        # dequant.  int8/bf16 rungs: both matmul operands are rounded
+        # to bf16 (int8 rows are dequantized to bf16 on device) with
+        # f32 accumulation — an f32-dequant check passed data the bf16
+        # MXU path then served at 0.12-0.74.  fp16 rung: the STORE is
+        # the only rounding (queries stay f32; bf16x3 accumulation is
+        # ~f32-accurate for fp16's 11 significand bits).  All rungs
+        # keep the EXACT stored sq norms in the epilogue.
+        if quant == "fp16":
+            qr = qr.astype(np.float16).astype(np.float32)
+            prq = pr
+        else:
+            qr = qr.astype(ml_dtypes.bfloat16).astype(np.float32)
+            prq = pr.astype(ml_dtypes.bfloat16).astype(np.float32)
         qv = prq @ qr.T
         sq = np.sum(rows.astype(np.float64) * rows, axis=1
                     ).astype(np.float32)
@@ -166,7 +178,9 @@ class ExactIndex:
     def _resolve_hbm_dtype(self, n: int) -> str:
         """Resolve "auto" once per data regime (re-checked when the
         index doubles/halves): full-density ranking-fidelity checks,
-        int8 -> bf16 -> float32 (first rung scoring >= 0.99 wins)."""
+        int8 -> bf16 -> fp16 -> float32 (first rung scoring >= 0.99
+        wins; fp16 costs the same HBM as bf16, so data that fails both
+        2-byte rungs is what pays f32 capacity)."""
         if self.hbm_dtype != "auto":
             return self.hbm_dtype
         c = self._hbm_fit_cache
@@ -185,6 +199,8 @@ class ExactIndex:
             dt = "int8"
         elif self._reduced_fit(rows, "bf16") >= 0.99:
             dt = "bf16"
+        elif self._reduced_fit(rows, "fp16") >= 0.99:
+            dt = "fp16"
         else:
             dt = "float32"
         self._hbm_fit_cache = (dt, n)
@@ -222,6 +238,8 @@ class ExactIndex:
                     # transits HBM — the whole point of the mode
                     import ml_dtypes
                     v = v.astype(ml_dtypes.bfloat16)
+                elif self._resolved_hbm == "fp16":
+                    v = v.astype(np.float16)
             self._dev = (jnp.asarray(v), jnp.asarray(sq),
                          jnp.asarray(alive), scales)
             self._dirty = False

@@ -198,12 +198,17 @@ def quantized_topk_candidates(queries: jnp.ndarray, table: jnp.ndarray,
     """Approximate top-kk candidate scan over a reduced-precision HBM
     table — the exact tier's CAPACITY mode (ExactIndex hbm_dtype).
 
-    ``table`` is [N, D] bfloat16 (scales=None) or int8 with per-row
-    ``scales`` [N] f32 such that row_f32 ~= row_int8 * scale.  int8 rows
-    are dequantized to bf16 per chunk ON DEVICE (a transient [chunk, D]
-    tile) so HBM holds 1 byte/dim while the matmul still rides the bf16
-    MXU path; ``v_sq`` keeps the EXACT f32 squared norms (4 bytes/row),
-    so cosine/l2 epilogues use true norms with approximate dot products.
+    ``table`` is [N, D] bfloat16 or float16 (scales=None) or int8 with
+    per-row ``scales`` [N] f32 such that row_f32 ~= row_int8 * scale.
+    int8 rows are dequantized to bf16 per chunk ON DEVICE (a transient
+    [chunk, D] tile) so HBM holds 1 byte/dim while the matmul still
+    rides the bf16 MXU path; a float16 table is upcast per chunk and
+    scored at Precision.HIGH (bf16x3 passes ~ f32-accurate, enough for
+    fp16's 11 significand bits) — same 2 bytes/dim as bf16 but ~8x the
+    mantissa resolution, the rung for tightly clustered data whose
+    separations drown in bf16 rounding; ``v_sq`` keeps the EXACT f32
+    squared norms (4 bytes/row), so cosine/l2 epilogues use true norms
+    with approximate dot products.
 
     Returns (approx_dists [Q, kk], indices [Q, kk]); callers restore
     exact ordering by reranking the kk winners in f32 against the host
@@ -218,11 +223,22 @@ def quantized_topk_candidates(queries: jnp.ndarray, table: jnp.ndarray,
     on_tpu = jax.devices()[0].platform == "tpu"
     from hnsw_tpu.ops.distance import _epilogue
 
+    fp16 = scales is None and table.dtype == jnp.float16
+
     def score(tab, sc, sq, vld):
-        gram = jax.lax.dot_general(
-            q_bf, tab.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if fp16:
+            # queries stay f32; the fp16 store is the only rounding —
+            # bf16x3 accumulates the product at ~f32 fidelity
+            gram = jax.lax.dot_general(
+                q, tab.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32)
+        else:
+            gram = jax.lax.dot_general(
+                q_bf, tab.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         if sc is not None:
             gram = gram * sc[None, :]
         d = _epilogue(metric, gram, q_sq, sq)

@@ -89,8 +89,8 @@ def sharded_quantized_candidates(queries: jnp.ndarray,
                                  mesh: Mesh, axis: str = "data"
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row-sharded CAPACITY-mode scan: each device scans its own
-    reduced-precision shard (bf16 table with scales=None, or int8 with
-    per-row scales — ops/topk.quantized_topk_candidates), nominates kk
+    reduced-precision shard (bf16/fp16 table with scales=None, or int8
+    with per-row scales — ops/topk.quantized_topk_candidates), nominates kk
     local candidates, and an all-gather + exact merge returns the
     global kk.  At 33.5M int8 rows per 16 GB chip (measured single-chip,
     exactBig rows) a v5e-8 slice holds ~268M vectors; the caller

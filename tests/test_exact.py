@@ -149,7 +149,7 @@ def test_fast_math_does_not_resurrect_masked_rows():
         assert int(ii[0]) == 200
 
 
-@pytest.mark.parametrize("hbm_dtype", ["bf16", "int8"])
+@pytest.mark.parametrize("hbm_dtype", ["bf16", "fp16", "int8"])
 def test_capacity_mode_matches_oracle(hbm_dtype):
     """hbm_dtype stores the device table reduced-precision; the f32
     host rerank must restore exact ordering and exact distances for
@@ -166,7 +166,7 @@ def test_capacity_mode_matches_oracle(hbm_dtype):
     gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
     rec = np.mean([len(set(keys[r]) & set(gt_i[r])) / k
                    for r in range(len(q))])
-    floor = 0.99 if hbm_dtype == "bf16" else 0.95
+    floor = 0.95 if hbm_dtype == "int8" else 0.99
     assert rec >= floor, f"{hbm_dtype} recall {rec}"
     # distances for returned keys are EXACT f32 (host rerank), so any
     # key shared with the oracle must carry the oracle's distance
@@ -195,10 +195,13 @@ def test_capacity_mode_delete_and_dead_rows():
 
 
 def test_capacity_mode_auto_resolves_by_data():
-    """hbm_dtype="auto" walks the fidelity ladder int8 -> bf16 ->
-    float32: spread-out data keeps int8; clustered data falls back to a
-    rung that can rank it (EXTREMELY tight clusters defeat even bf16 —
-    measured 0.19 recall with rerank — and must resolve float32)."""
+    """hbm_dtype="auto" walks the fidelity ladder int8 -> bf16 -> fp16
+    -> float32: spread-out data keeps int8; clustered data falls to the
+    first rung that can rank it.  fp16 costs bf16's bytes with ~8x the
+    mantissa resolution, so tight clusters that defeat bf16 (measured
+    0.19 recall with rerank) stop there instead of paying f32 capacity;
+    only EXTREMELY tight clusters (separations below fp16's spacing)
+    must resolve float32."""
     rng = np.random.default_rng(7)
     n, d = 4000, 32
     idx = ExactIndex(metric="cosine", hbm_dtype="auto")
@@ -209,7 +212,12 @@ def test_capacity_mode_auto_resolves_by_data():
     assert idx._resolved_hbm == "int8"
 
     centers = rng.standard_normal((40, d)).astype(np.float32) * 5
-    for jitter, floor in ((0.3, 0.9), (0.05, 0.99)):
+    resolved = []
+    # floor=None for the extreme case: within-cluster cosine distances
+    # at jitter 0.002 are ~1e-7 — below f32's OWN cancellation noise in
+    # 1 - cos near 1.0 — so top-10 membership is tie-dominated even at
+    # the top rung; only the ladder decision is well-defined there.
+    for jitter, floor in ((0.3, 0.95), (0.05, 0.99), (0.002, None)):
         data = (centers[rng.integers(0, 40, n)]
                 + jitter * rng.standard_normal((n, d)).astype(np.float32))
         idx2 = ExactIndex(metric="cosine", hbm_dtype="auto")
@@ -219,11 +227,21 @@ def test_capacity_mode_auto_resolves_by_data():
              + jitter * rng.standard_normal((32, d)).astype(np.float32))
         keys, _ = idx2.batch_search(q, 10)
         assert idx2._resolved_hbm != "int8", (jitter, idx2._resolved_hbm)
-        gt_d, gt_i = np_exact_topk(q, data, 10, "cosine")
-        rec = np.mean([len(set(keys[r]) & set(gt_i[r])) / 10
-                       for r in range(32)])
-        assert rec >= floor, f"jitter {jitter}: recall {rec} "             f"(resolved {idx2._resolved_hbm})"
-    assert idx2._resolved_hbm == "float32"
+        if floor is not None:
+            gt_d, gt_i = np_exact_topk(q, data, 10, "cosine")
+            rec = np.mean([len(set(keys[r]) & set(gt_i[r])) / 10
+                           for r in range(32)])
+            assert rec >= floor, f"jitter {jitter}: recall {rec} "                 f"(resolved {idx2._resolved_hbm})"
+        resolved.append(idx2._resolved_hbm)
+    # the rank-10 boundary inside a ~100-point cluster separates by a
+    # small FRACTION of the jitter scale, so each rung gives out well
+    # before jitter reaches its stored-value spacing: at coordinate
+    # magnitudes ~5-15, bf16 (~0.04 spacing) already fails the 0.99
+    # containment fit at jitter 0.3 where fp16 (~0.004) still ranks;
+    # by jitter 0.05 even fp16 drowns and the data pays f32 capacity
+    assert resolved[0] == "fp16", resolved
+    assert resolved[1] == "float32", resolved
+    assert resolved[2] == "float32", resolved
 
 
 def test_capacity_auto_recheck_on_data_replacement():

@@ -354,8 +354,16 @@ def test_sharded_quantized_candidates_int8_and_bf16():
     ib = np.asarray(ib)
     rec = np.mean([len(set(ib[r]) & set(gt[r])) / k for r in range(32)])
     assert rec >= 0.99, f"bf16 containment {rec}"
+
+    # fp16 shards (scales=None; ops/topk dtype branch keeps queries f32)
+    df, if_ = sharded_quantized_candidates(
+        jnp.asarray(q), jnp.asarray(v.astype(np.float16)), None,
+        jnp.asarray(sq), alive, kk=k + 4, metric="cosine", mesh=mesh)
+    if_ = np.asarray(if_)
+    rec = np.mean([len(set(if_[r]) & set(gt[r])) / k for r in range(32)])
+    assert rec >= 0.99, f"fp16 containment {rec}"
     # global ids: every id in range, none from padded space
-    assert int(ib.max()) < n and int(iq.max()) < n
+    assert int(ib.max()) < n and int(iq.max()) < n and int(if_.max()) < n
 
 
 def test_multihost_over_capacity_mode_slices():
