@@ -242,6 +242,13 @@ class StoreConfig:
     #: head against the disk store on host (Graph.hbm_mode="quantized")
     #: — ~5x more vectors per chip; pairs with vectors_on_disk.
     hbm_quantized: bool = False
+    #: full Graph.hbm_mode passthrough: "full" (default), "quantized"
+    #: (same as hbm_quantized=True), or "float16" — fp16 traversal
+    #: store + exact f32 host rerank, the capacity tier for tightly
+    #: clustered data that int8 misranks (half the HBM/gather bytes of
+    #: f32, recall parity).  Takes precedence over ``hbm_quantized``
+    #: when set to a non-default value.
+    hbm_mode: str = "full"
     format: str = "parquet"  # "parquet" | "arrow" | "npz"
 
     def validate(self) -> None:
@@ -251,6 +258,8 @@ class StoreConfig:
             raise ValueError(f"bad format {self.format}")
         if self.wal_flush_interval_seconds < 0:
             raise ValueError("wal_flush_interval_seconds must be >= 0")
+        if self.hbm_mode not in ("full", "quantized", "float16"):
+            raise ValueError(f"bad hbm_mode {self.hbm_mode!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -98,7 +98,9 @@ class DiskGraph:
             from hnsw_tpu.io.mmap_store import MmapVectorStore
             store = MmapVectorStore(os.path.join(self.dir, "vectors_mmap"))
         g = Graph(config=cfg, store=store)
-        if self.scfg.hbm_quantized:
+        if self.scfg.hbm_mode != "full":
+            g.hbm_mode = self.scfg.hbm_mode
+        elif self.scfg.hbm_quantized:
             g.hbm_mode = "quantized"
         has_logs = self.wal.num_log_files > 0
         if not have_meta and not has_logs:

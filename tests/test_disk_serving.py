@@ -95,6 +95,40 @@ def test_disk_graph_vectors_on_disk(tmp_path):
     assert g2.search(v[9], 1)[0][0] == 9
 
 
+def test_disk_graph_hbm_mode_float16_passthrough(tmp_path):
+    """StoreConfig.hbm_mode="float16" reaches the underlying Graph and
+    survives reopen — the disk-backed fp16 capacity tier (clustered
+    data that int8 misranks; half the HBM of f32 traversal)."""
+    from hnsw_tpu.config import StoreConfig
+    from hnsw_tpu.io.disk_graph import DiskGraph
+    d = str(tmp_path / "dg16")
+
+    def cfg():
+        return StoreConfig(directory=d, format="npz",
+                           vectors_on_disk=True, hbm_mode="float16",
+                           wal_flush_interval_seconds=0)
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((5, 16)).astype(np.float32) * 5
+    v = (centers[rng.integers(0, 5, 200)]
+         + 0.1 * rng.standard_normal((200, 16)).astype(np.float32))
+    g = DiskGraph(d, store_config=cfg())
+    g.batch_add(list(range(200)), v)
+    assert g.graph.hbm_mode == "float16"
+    assert str(g.graph.device_graph().vectors.dtype) == "float16"
+    assert g.search(v[9], 1)[0][0] == 9      # f32 host rerank: exact NN
+    g.close()
+    g2 = DiskGraph(d, store_config=cfg())
+    assert g2.graph.hbm_mode == "float16"
+    assert g2.search(v[9], 1)[0][0] == 9
+    # the bool knob still works and hbm_mode="full" defers to it
+    sc = StoreConfig(directory=d, format="npz", hbm_quantized=True,
+                     wal_flush_interval_seconds=0)
+    assert sc.hbm_mode == "full"
+    with pytest.raises(ValueError):
+        StoreConfig(directory=d, hbm_mode="int8").validate()
+
+
 def test_hbm_quantized_mode_over_mmap_store(tmp_path):
     # capacity serving mode: HBM holds only the int8 traversal store;
     # raw vectors stay on disk, pool head reranked on host. Recall must
