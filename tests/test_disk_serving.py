@@ -200,3 +200,61 @@ def test_streaming_exact_hbm_chunk_cache(tmp_path):
     assert not idx0._cache
     for i in range(len(q)):
         assert k0[i] == [int(x) for x in gt_i[i]]
+
+
+@pytest.mark.parametrize("dt", ["bf16", "fp16", "int8"])
+def test_streaming_reduced_dtype_matches_oracle(tmp_path, dt):
+    """stream_dtype casts chunks on host before upload (2-4x less H2D
+    on the link-bound cold path); the f32 host rerank against the mmap
+    store restores exact ordering — the ExactIndex capacity contract
+    over disk-resident vectors."""
+    n, d, k = 3000, 16, 10
+    v = make_vectors(n, d, seed=130)
+    q = make_vectors(24, d, seed=131)
+    idx = StreamingExactIndex(str(tmp_path / f"sx_{dt}"),
+                              metric="cosine", chunk_rows=512,
+                              stream_dtype=dt)
+    idx.batch_add(list(range(n)), v)
+    keys, dists = idx.batch_search(q, k)
+    gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
+    rec = np.mean([len(set(keys[r]) & set(map(int, gt_i[r]))) / k
+                   for r in range(len(q))])
+    floor = 0.95 if dt == "int8" else 0.99
+    assert rec >= floor, f"{dt} recall {rec}"
+    # distances of shared keys are f32-exact (host rerank)
+    for r in range(6):
+        gmap = {int(i): float(dd) for i, dd in zip(gt_i[r], gt_d[r])}
+        for kk_, dd in zip(keys[r], dists[r]):
+            if kk_ in gmap:
+                np.testing.assert_allclose(dd, gmap[kk_], rtol=1e-4)
+    # delete stays correct through the reduced path
+    victim = keys[0][0]
+    idx.delete(victim)
+    keys2, _ = idx.batch_search(q[:1], k)
+    assert victim not in keys2[0]
+
+
+def test_streaming_reduced_cache_and_mode_switch(tmp_path):
+    """Reduced chunks pin at reduced size (the budget stretches over
+    2-4x the working set) and switching stream_dtype drops stale
+    pins."""
+    n, d, k = 2000, 16, 5
+    v = make_vectors(n, d, seed=132)
+    q = make_vectors(8, d, seed=133)
+    idx = StreamingExactIndex(str(tmp_path / "sxc"), metric="cosine",
+                              chunk_rows=512, hbm_cache_bytes=10 << 20,
+                              stream_dtype="int8")
+    idx.batch_add(list(range(n)), v)
+    k1, _ = idx.batch_search(q, k)
+    assert len(idx._cache) == 3
+    int8_bytes = idx._cache_bytes
+    # int8 chunk ~= dim + scales + sq + alive bytes/row, ~1/4 of f32
+    assert int8_bytes < 512 * 3 * (d * 4 + 9)
+    k2, _ = idx.batch_search(q, k)
+    assert k2 == k1
+    idx.stream_dtype = "float32"          # mode switch drops the pins
+    k3, _ = idx.batch_search(q, k)
+    assert idx._cache_stream_dtype == "float32"
+    gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
+    for i in range(len(q)):
+        assert k3[i] == [int(x) for x in gt_i[i]]
