@@ -22,20 +22,47 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native", "hnsw_native.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "libhnsw_native.so")
+def _find_src() -> Optional[str]:
+    """Locate the C++ source: env override, repo layout (native/ next
+    to the package), or the installed package copy (native_src/ ships
+    as package data — pyproject.toml)."""
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    cands = [
+        os.environ.get("HNSW_TPU_NATIVE_SRC", ""),
+        os.path.join(os.path.dirname(pkg), "native", "hnsw_native.cpp"),
+        os.path.join(pkg, "native_src", "hnsw_native.cpp"),
+    ]
+    for c in cands:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
+def _so_path(src: str) -> str:
+    """Cache the compiled library next to the source when that
+    directory is writable (the repo case), else under ~/.cache
+    (installed site-packages may be read-only)."""
+    d = os.path.dirname(src)
+    if os.access(d, os.W_OK):
+        return os.path.join(d, "libhnsw_native.so")
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "hnsw_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libhnsw_native.so")
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_SO) and (os.path.getmtime(_SO) >=
-                                os.path.getmtime(_SRC)):
-        return _SO
+    src = _find_src()
+    if src is None:
+        return None
+    so = _so_path(src)
+    if os.path.exists(so) and (os.path.getmtime(so) >=
+                               os.path.getmtime(os.path.realpath(src))):
+        return so
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-           _SRC, "-o", _SO]
+           src, "-o", so]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _SO
+        return so
     except (subprocess.SubprocessError, FileNotFoundError, OSError):
         return None
 
