@@ -254,7 +254,8 @@ def _sparse_sync(host: host_build.HostGraph, nb0_dev, nbU_tabs,
         u_l = u_counts[l - 1] if nbU_tabs is not None else 0
         if not u_l:
             continue
-        sel = np.asarray(nbU_tabs[l - 1][:u_l])          # [U_l, m_up]
+        # bounded D2H: layer 1 at 16M nodes is a ~270 MB occupied prefix
+        sel = chunked_get(nbU_tabs[l - 1][:u_l])         # [U_l, m_up]
         rows = ups[:u_l]
         m_up = sel.shape[1]
         host.neighbors[l][rows, :m_up] = sel
@@ -278,10 +279,14 @@ def _compact_upper_tables(host: host_build.HostGraph, lv_all: np.ndarray,
         nbU_tabs = []
         for lyr in range(1, L_all):
             u_l = u_counts[lyr - 1]
-            t = np.full((bucket_pow2(max(u_l, 1), 8), m_up), -1, np.int32)
-            if u_l:   # existing nodes' rows (new slots are still -1)
-                t[:u_l] = host.neighbors[lyr][ups[:u_l], :m_up]
-            nbU_tabs.append(jnp.asarray(t))
+            # chunked H2D with device-side -1 fill (new slots stay -1);
+            # a single padded upload at 16M would be ~0.5 GB over the
+            # relay — the documented wedge pattern
+            occ = (np.ascontiguousarray(
+                       host.neighbors[lyr][ups[:u_l], :m_up])
+                   if u_l else np.zeros((0, m_up), np.int32))
+            nbU_tabs.append(chunked_put(
+                occ, -1, shape=(bucket_pow2(max(u_l, 1), 8), m_up)))
         umap_dev = jnp.asarray(umap)
     return ups, u_counts, nbU_tabs, umap_dev
 

@@ -345,9 +345,12 @@ def from_host(vectors: np.ndarray, sq_norms: np.ndarray,
             tabs = []
             for lyr in range(1, L):
                 u_l = int((lv >= lyr).sum())
-                t = np.full((bucket_pow2(max(u_l, 1)), mu), -1, np.int32)
-                t[:u_l] = nb[lyr][ups[:u_l], :mu]
-                tabs.append(jnp.asarray(t))
+                # chunked upload with device-side -1 padding: layer 1 at
+                # 16M nodes is ~4.2M occupied rows bucketed to 8.4M —
+                # a single padded upload would be ~0.5 GB over the relay
+                tabs.append(chunked_put(
+                    np.ascontiguousarray(nb[lyr][ups[:u_l], :mu]), -1,
+                    shape=(bucket_pow2(max(u_l, 1)), mu)))
             nbr_upper = tuple(tabs)
             upper_map = jnp.asarray(umap)
         else:

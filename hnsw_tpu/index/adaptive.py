@@ -159,7 +159,8 @@ class AdaptiveSelector:
             if st.count < 3:
                 continue
             lat_score = 1.0 - (st.avg_latency() / max_lat)
-            recall = st.avg_recall() or 0.5
+            r = st.avg_recall()
+            recall = 0.5 if r is None else r   # unprobed != measured 0.0
             score = (self.cfg.latency_weight * lat_score
                      + self.cfg.recall_weight * recall
                      + self.cfg.success_rate_weight * st.success_rate())
@@ -269,6 +270,37 @@ class AdaptiveHybridIndex:
         finally:
             self.exact.fast_math = prev
 
+    def _exact_is_oracle(self) -> bool:
+        """Whether the exact tier's slow path is trustworthy ground
+        truth: a f32 table, or the "auto" ladder (which only settles on
+        a reduced rung after certifying >=0.99 arithmetic-faithful
+        fidelity at k+margin — ExactIndex._resolve_hbm_dtype). A FORCED
+        reduced rung (hbm_dtype="int8"/"bf16"/"fp16") carries no such
+        certificate — int8 measured 0.24-0.95 on tight clusters — so
+        its output must not anchor the recall probe."""
+        return (self.exact._resolved_hbm == "float32"
+                or self.exact.hbm_dtype == "auto")
+
+    def _probe_oracle(self, queries: np.ndarray, k: int):
+        """Ground-truth keys for the recall probe, or None when no
+        trustworthy oracle is affordable. Trust order: the exact tier's
+        slow path when it IS an oracle (_exact_is_oracle); else the
+        host f32 BLAS scan, bounded to ~2M rows (a 32-query scan stays
+        sub-second there on one core)."""
+        if self._exact_is_oracle():
+            return self._exact_call(queries, k, fast=False)[0]
+        ex = self.exact
+        n = ex.slots.capacity_used
+        if n > (1 << 21):
+            return None
+        prev_b, prev_r = ex.host_serve_max_batch, ex.host_serve_max_rows
+        ex.host_serve_max_batch = max(prev_b, len(queries))
+        ex.host_serve_max_rows = max(prev_r, n)
+        try:
+            return ex.batch_search(queries, k)[0]
+        finally:
+            ex.host_serve_max_batch, ex.host_serve_max_rows = prev_b, prev_r
+
     def _run(self, strategy: str, query: np.ndarray, k: int
              ) -> List[Tuple[Any, float]]:
         if strategy in ("exact", "exact_fast"):
@@ -312,7 +344,8 @@ class AdaptiveHybridIndex:
             self.selector.record(QueryMetrics(
                 strategy=strat, duration_s=dt, result_count=len(res),
                 success=success,
-                recall=1.0 if strat == "exact" else 0.0,
+                recall=(1.0 if strat == "exact" and self._exact_is_oracle()
+                        else None),
                 distance_stats=DistanceStats.from_distances(
                     [d for _, d in res])))
         else:
@@ -388,17 +421,26 @@ class AdaptiveHybridIndex:
                 out[qi] = results[j]
                 if len(results[j]) < want and success:
                     shortfall.append(qi)
-            grp_recall = 1.0 if strat == "exact" else 0.0
-            if probe_due and success and strat != "exact" and idxs:
+            # None = unprobed (telemetry treats it as "no measurement",
+            # NOT zero); the exact arm is 1.0 only when its slow path is
+            # actually an oracle — a FORCED reduced hbm rung is probed
+            # like any other arm (against the host f32 oracle)
+            exact_oracle = self._exact_is_oracle()
+            grp_recall = 1.0 if (strat == "exact" and exact_oracle) \
+                else None
+            probe_this = (probe_due and success and idxs
+                          and not (strat == "exact" and exact_oracle))
+            if probe_this:
                 np_ = min(32, len(idxs))
-                ok, _ = self._exact_call(qs[:np_], k, fast=False)
-                hits = tot = 0
-                for j in range(np_):
-                    oracle = {kk for kk in ok[j] if kk is not None}
-                    got = {kk for kk, _ in results[j]}
-                    hits += len(oracle & got)
-                    tot += len(oracle)
-                grp_recall = hits / tot if tot else 0.0
+                ok = self._probe_oracle(qs[:np_], k)
+                if ok is not None:
+                    hits = tot = 0
+                    for j in range(np_):
+                        oracle = {kk for kk in ok[j] if kk is not None}
+                        got = {kk for kk, _ in results[j]}
+                        hits += len(oracle & got)
+                        tot += len(oracle)
+                    grp_recall = hits / tot if tot else None
             if strat in self._warmed:
                 # stride-sample down to the window size (extra records
                 # would only be evicted from the deque anyway)

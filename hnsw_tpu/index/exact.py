@@ -209,6 +209,7 @@ class ExactIndex:
 
     def _sync(self):
         if self._dirty or self._dev is None:
+            from ..utils.transfer import chunked_put
             n = self.slots.capacity_used
             self._resolved_hbm = self._resolve_hbm_dtype(n)
             n_pad = max(_bucket(n, 8), 8)
@@ -218,30 +219,39 @@ class ExactIndex:
                 sq[:n] = self.store.sq_norms[:n]
                 alive[:n] = self.store.alive[:n]
             scales = None
+            rows = self.store.vectors[:n] if n else \
+                np.zeros((0, self.store.dim), np.float32)
+            # every table rides chunked_put: the capacity modes exist
+            # for 20M+ rows, where a single padded upload (or a
+            # full-size host astype staging copy) is GB-scale — the
+            # exact transfer pattern that wedges the relay
             if self._resolved_hbm == "int8":
-                v = np.zeros((n_pad, self.store.dim), np.int8)
-                scales = np.zeros((n_pad,), np.float32)
-                if n:
-                    rows = self.store.vectors[:n]
-                    amax = np.max(np.abs(rows), axis=1)
+                scales_h = np.zeros((n_pad,), np.float32)
+                v8 = np.zeros((n_pad, self.store.dim), np.int8)
+                step = max(1, (64 << 20) // (4 * self.store.dim))
+                for c0 in range(0, n, step):  # bounded f32 quant temps
+                    r = rows[c0:c0 + step]
+                    amax = np.max(np.abs(r), axis=1)
                     s = np.where(amax > 0, amax / 127.0, 1.0)
-                    v[:n] = np.clip(np.rint(rows / s[:, None]),
-                                    -127, 127).astype(np.int8)
-                    scales[:n] = s.astype(np.float32)
-                scales = jnp.asarray(scales)
+                    v8[c0:c0 + len(r)] = np.clip(
+                        np.rint(r / s[:, None]), -127, 127).astype(np.int8)
+                    scales_h[c0:c0 + len(r)] = s.astype(np.float32)
+                scales = chunked_put(scales_h)
+                v = chunked_put(v8)
             else:
-                v = np.zeros((n_pad, self.store.dim), np.float32)
-                if n:
-                    v[:n] = self.store.vectors[:n]
+                # dtype converts PER CHUNK host-side (ml_dtypes), so the
+                # f32 table never transits HBM and no full-size reduced
+                # staging copy is materialized
                 if self._resolved_hbm == "bf16":
-                    # cast on HOST (ml_dtypes) so the f32 table never
-                    # transits HBM — the whole point of the mode
                     import ml_dtypes
-                    v = v.astype(ml_dtypes.bfloat16)
+                    dt = ml_dtypes.bfloat16
                 elif self._resolved_hbm == "fp16":
-                    v = v.astype(np.float16)
-            self._dev = (jnp.asarray(v), jnp.asarray(sq),
-                         jnp.asarray(alive), scales)
+                    dt = np.float16
+                else:
+                    dt = np.float32
+                v = chunked_put(rows, shape=(n_pad, self.store.dim),
+                                dtype=dt)
+            self._dev = (v, chunked_put(sq), chunked_put(alive), scales)
             self._dirty = False
         return self._dev
 

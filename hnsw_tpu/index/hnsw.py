@@ -234,6 +234,8 @@ class Graph:
 
     @hbm_mode.setter
     def hbm_mode(self, mode: str) -> None:
+        if mode == "fp16":            # the exact tier's spelling
+            mode = "float16"
         if mode not in ("full", "float16", "quantized"):
             raise ValueError(f"bad hbm_mode {mode!r}")
         from hnsw_tpu.ops.distance import registered
@@ -313,6 +315,13 @@ class Graph:
         vector table and its descent gather bytes (the 16M+
         single-chip knob; see core/build_device.bulk_insert_device).
         """
+        # accept the exact tier's spelling too ("fp16" — hbm_dtype
+        # knobs); an unknown value must fail HERE, not fall through to
+        # a silent full-f32 build that OOMs an hour into a 16M run
+        if descent_dtype == "fp16":
+            descent_dtype = "float16"
+        if descent_dtype not in ("float32", "float16"):
+            raise ValueError(f"bad descent_dtype {descent_dtype!r}")
         vectors = np.asarray(vectors, np.float32)
         if len(keys) != len(vectors):
             raise ValueError("keys/vectors length mismatch")

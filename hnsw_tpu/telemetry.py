@@ -41,7 +41,9 @@ class QueryMetrics:
     strategy: str
     duration_s: float
     result_count: int
-    recall: float = 0.0
+    #: None = not measured (distinct from a MEASURED 0.0 — a tier that
+    #: returns fully disjoint keys must be able to record it)
+    recall: Optional[float] = None
     success: bool = True
     distance_stats: Optional[DistanceStats] = None
     timestamp: float = dataclasses.field(default_factory=time.time)
@@ -73,9 +75,11 @@ class StrategyStats:
         idx = min(len(lat) - 1, int(0.95 * len(lat)))
         return float(lat[idx])
 
-    def avg_recall(self) -> float:
-        vals = [m.recall for m in self.window if m.recall > 0]
-        return float(np.mean(vals)) if vals else 0.0
+    def avg_recall(self) -> Optional[float]:
+        """Mean over MEASURED recalls (None entries are unprobed, not
+        zero); None when nothing was ever measured."""
+        vals = [m.recall for m in self.window if m.recall is not None]
+        return float(np.mean(vals)) if vals else None
 
     def success_rate(self) -> float:
         if not self.window:

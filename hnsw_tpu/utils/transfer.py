@@ -60,9 +60,7 @@ def chunked_put(arr: np.ndarray, fill=0, shape=None, dtype=None,
     match) — the padding happens on device, never as a host copy.
     ``dtype`` converts per-chunk (no full-size host astype).
     """
-    import jax
     import jax.numpy as jnp
-    from jax import lax
 
     arr = np.asarray(arr)
     dtype = np.dtype(dtype if dtype is not None else arr.dtype)
@@ -70,15 +68,20 @@ def chunked_put(arr: np.ndarray, fill=0, shape=None, dtype=None,
     if shape[1:] != arr.shape[1:] or shape[0] < arr.shape[0]:
         raise ValueError(f"target shape {shape} cannot hold {arr.shape}")
     limit = chunk_bytes if chunk_bytes is not None else _CHUNK_BYTES
-    nbytes = arr.shape[0] * _row_bytes(shape, dtype.itemsize)
-    if nbytes <= limit:
+    row = _row_bytes(shape, dtype.itemsize)
+    # the single-shot gate must bound the bytes that CROSS THE LINK —
+    # the padded TARGET for the host-staged fast path, not the source
+    # (a small array padded into a large capacity buffer would
+    # otherwise ship the full buffer in one unbounded transfer)
+    if shape[0] * row <= limit:
         if shape == arr.shape:
             return jnp.asarray(arr, dtype)
         out = np.full(shape, fill, dtype)
         out[: arr.shape[0]] = arr
         return jnp.asarray(out)
-
-    step = max(1, limit // _row_bytes(shape, dtype.itemsize))
+    # below: the padding is created device-side (jnp.full) and only the
+    # source rows cross the link, in bounded chunks
+    step = max(1, limit // row)
     # pow2 steps that divide a pow2-bucketed capacity keep the compiled
     # update-shape count at one (remote compiles are ~5-15 s each)
     step = 1 << (step.bit_length() - 1)

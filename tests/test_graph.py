@@ -362,3 +362,18 @@ def test_calibrate_ef_on_real_workload_sample():
     g2.build(list(range(n)), v)
     ef_mix, _ = g2.calibrate_ef(0.9, k=k)
     assert ef_mix <= ef
+
+
+def test_build_rejects_bad_descent_dtype():
+    import pytest
+    rng = np.random.default_rng(0)
+    g = Graph(metric="cosine")
+    with pytest.raises(ValueError, match="descent_dtype"):
+        g.build([0, 1], rng.standard_normal((2, 8)).astype(np.float32),
+                descent_dtype="bf16")
+
+
+def test_hbm_mode_accepts_fp16_spelling():
+    g = Graph(metric="cosine")
+    g.hbm_mode = "fp16"
+    assert g.hbm_mode == "float16"

@@ -341,3 +341,42 @@ def test_selector_score_penalizes_wrong_fast_tier():
         sel.record(QueryMetrics(strategy="exact", duration_s=0.002,
                                 result_count=10, recall=1.0))
     assert sel._select_by_performance() == "exact"
+
+
+def test_measured_zero_recall_is_recorded_not_dropped():
+    """A tier MEASURED at 0.0 recall must not fall back to the 0.5
+    unprobed default (review: recall=0.0 was both the sentinel and a
+    legal measurement; MetricsWindow dropped it)."""
+    from hnsw_tpu.telemetry import MetricsWindow, QueryMetrics
+    w = MetricsWindow(window_size=10)
+    w.record(QueryMetrics(strategy="lsh", duration_s=0.001,
+                          result_count=10, recall=0.0))
+    st = w.by_strategy["lsh"]
+    assert st.avg_recall() == 0.0          # measured zero IS zero
+    w2 = MetricsWindow(window_size=10)
+    w2.record(QueryMetrics(strategy="lsh", duration_s=0.001,
+                           result_count=10))          # unprobed
+    assert w2.by_strategy["lsh"].avg_recall() is None
+
+
+def test_forced_reduced_exact_tier_is_not_its_own_oracle():
+    """With a FORCED reduced hbm rung the exact arm must not record
+    recall=1.0, and the probe oracle must come from the host f32 scan."""
+    from hnsw_tpu.config import AdaptiveConfig, HybridConfig
+    from hnsw_tpu.index.adaptive import AdaptiveHybridIndex
+
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((300, 32)).astype(np.float32)
+    a = AdaptiveHybridIndex(HybridConfig(), AdaptiveConfig())
+    a.exact.hbm_dtype = "int8"
+    a.exact._resolved_hbm = "int8"
+    assert not a._exact_is_oracle()
+    a_auto = AdaptiveHybridIndex(HybridConfig(), AdaptiveConfig())
+    assert a_auto._exact_is_oracle()       # f32 default IS an oracle
+    # host-oracle probe path returns true f32 ground truth
+    for i in range(300):
+        a.add(i, data[i])
+    ok = a._probe_oracle(data[:4], 3)
+    assert ok is not None
+    for j in range(4):
+        assert ok[j][0] == j               # self-NN

@@ -63,3 +63,24 @@ def test_get_scalarish():
     import jax.numpy as jnp
     dev = jnp.float32(3.5)
     assert chunked_get(dev) == np.float32(3.5)
+
+
+def test_put_gate_bounds_padded_target_not_source():
+    """A small source padded into a large target must ride the chunked
+    path (device-side fill) — the single-shot gate bounds the bytes
+    that cross the link, i.e. the PADDED buffer, not the source."""
+    a = np.arange(3 * 4, dtype=np.float32).reshape(3, 4)
+    # target = 64 rows x 16 B = 1024 B > 64 B limit; source = 48 B
+    dev = chunked_put(a, fill=-1, shape=(64, 4), chunk_bytes=64)
+    out = np.asarray(dev)
+    np.testing.assert_array_equal(out[:3], a)
+    assert (out[3:] == -1).all()
+
+
+def test_put_small_source_large_target_dtype():
+    a = np.linspace(-2, 2, 20, dtype=np.float32).reshape(5, 4)
+    dev = chunked_put(a, fill=0, shape=(128, 4), dtype=np.float16,
+                      chunk_bytes=128)
+    out = np.asarray(dev)
+    np.testing.assert_array_equal(out[:5], a.astype(np.float16))
+    assert (out[5:] == 0).all()
