@@ -296,7 +296,9 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                        intra_k: Optional[int] = None,
                        quant_descent: bool = False,
                        block_m: Optional[int] = None,
-                       descent_dtype: str = "float32") -> None:
+                       descent_dtype: str = "float32",
+                       on_checkpoint=None,
+                       checkpoint_every: int = 0) -> None:
     """Device-resident wave insertion; syncs host arrays once at the end.
 
     ``quant_descent`` gives the construction descent the int8
@@ -307,6 +309,14 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     benchmarks/exp/hop_micro3.py). Edge SELECTION still scores raw-f32
     at HIGHEST precision (_diverse_select_dev / _reverse_update), so
     only the candidate pool ordering sees quantization noise.
+
+    ``on_checkpoint(inserted)`` + ``checkpoint_every=K`` snapshot the
+    build every K waves: device levels/neighbors sync to the host
+    arrays, then the callback persists them (Graph.build wires it to
+    io.codec.save_graph). A killed 8M build loses at most K waves
+    instead of hours — the relay tunnel this runs behind has wedged
+    mid-build for 2+ hours with no recovery (CLAUDE.md hazards), so
+    long builds MUST be restartable (Graph.resume_build).
 
     ``descent_dtype="float16"`` uploads the HBM vector table as fp16 —
     half the table bytes AND half the row-gather bytes of the descent
@@ -421,6 +431,7 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     import time as _time
     _progress = _os.environ.get("HNSW_TPU_BUILD_PROGRESS") == "1"
     _t_start = _time.perf_counter()
+    _waves_done = 0
     w0 = start
     while w0 < n_new:
         # ramp: a wave may be up to 4x the current graph size (the
@@ -542,11 +553,20 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             host.top = wmax
             host.entry = int(wslots[int(np.argmax(wlevels))])
         w0 = w1
+        _waves_done += 1
         if _progress:
             jax.block_until_ready(nb0_dev)
             print(f"# build wave done: {w0}/{n_new} "
                   f"(+{W} @ {_time.perf_counter() - _t_start:.0f}s)",
                   file=_sys.stderr, flush=True)
+        if (on_checkpoint is not None and checkpoint_every > 0
+                and w0 < n_new and _waves_done % checkpoint_every == 0):
+            # mid-build host sync: levels mark exactly the inserted
+            # prefix (-1 = pending), neighbor pulls ride chunked_get;
+            # the device tables stay the build's source of truth
+            host.levels[:ncap] = np.asarray(levels_dev[:ncap])
+            _sparse_sync(host, nb0_dev, nbU_tabs, ups, u_counts, ncap)
+            on_checkpoint(int(w0))
 
     # ---- single D2H sync ----------------------------------------------------
     lv = np.asarray(levels_dev[:ncap])

@@ -295,7 +295,9 @@ class Graph:
               wave: int = 1024, method: str = "auto",
               quant_descent: bool = False,
               block_m: Optional[int] = None,
-              descent_dtype: str = "float32") -> None:
+              descent_dtype: str = "float32",
+              checkpoint_path: Optional[str] = None,
+              checkpoint_every: int = 128) -> None:
         """Bulk construction. Existing keys are replaced; duplicate keys
         within the batch are an error.
 
@@ -314,6 +316,15 @@ class Graph:
         ``descent_dtype="float16"`` halves the device builder's HBM
         vector table and its descent gather bytes (the 16M+
         single-chip knob; see core/build_device.bulk_insert_device).
+
+        ``checkpoint_path`` makes a device build RESTARTABLE: every
+        ``checkpoint_every`` waves the build syncs device state to the
+        host arrays and atomically saves a full checkpoint — a crash
+        (or a wedged relay tunnel: 2+ h mid-build, CLAUDE.md hazards)
+        loses at most checkpoint_every waves. Resume with
+        ``Graph.resume_build(checkpoint_path, ...)``. Checkpoint cost
+        at 8M, every 128 waves: ~1 GB neighbor D2H + one npz write —
+        a few percent of wall-clock.
         """
         # accept the exact tier's spelling too ("fp16" — hbm_dtype
         # knobs); an unknown value must fail HERE, not fall through to
@@ -344,13 +355,63 @@ class Graph:
             self.host.insert_many(list(slot_list))
         else:
             from hnsw_tpu.core.build_device import bulk_insert_device
+            on_ckpt = None
+            if checkpoint_path is not None:
+                from hnsw_tpu.io.codec import save_graph
+
+                def on_ckpt(done, _p=checkpoint_path):
+                    save_graph(self, _p)
             bulk_insert_device(self.host, slot_list, wave=wave,
                                quant_descent=quant_descent,
                                block_m=block_m,
-                               descent_dtype=descent_dtype)
+                               descent_dtype=descent_dtype,
+                               on_checkpoint=on_ckpt,
+                               checkpoint_every=checkpoint_every)
+            if checkpoint_path is not None:
+                save_graph(self, checkpoint_path)   # final, complete
         self._block_fit_cache = None   # bulk data change: re-check fit
         self._mut_since_fit = 0
         self._dirty = True
+
+    @classmethod
+    def resume_build(cls, checkpoint_path: str,
+                     wave: int = 1024,
+                     quant_descent: bool = False,
+                     block_m: Optional[int] = None,
+                     descent_dtype: str = "float32",
+                     checkpoint_every: int = 128) -> "Graph":
+        """Resume a crashed/killed ``build(checkpoint_path=...)``.
+
+        The checkpoint stores every assigned key + vector; nodes the
+        build had not yet inserted are exactly those with level < 0.
+        Loads the snapshot, re-runs the device waves over the pending
+        slots only (fresh level sampling — same geometric law), and
+        keeps checkpointing to the same path. Returns the completed
+        Graph. A finished checkpoint simply loads and returns.
+        """
+        from hnsw_tpu.io.codec import load_graph
+        g = load_graph(checkpoint_path)
+        host = g.host
+        assigned = np.fromiter(g.slots.key_to_slot.values(), np.int64,
+                               len(g.slots.key_to_slot))
+        pending = np.sort(assigned[host.levels[assigned] < 0])
+        if len(pending):
+            from hnsw_tpu.core.build_device import bulk_insert_device
+            from hnsw_tpu.io.codec import save_graph
+
+            def on_ckpt(done, _p=checkpoint_path):
+                save_graph(g, _p)
+            bulk_insert_device(host, pending, wave=wave,
+                               quant_descent=quant_descent,
+                               block_m=block_m,
+                               descent_dtype=descent_dtype,
+                               on_checkpoint=on_ckpt,
+                               checkpoint_every=checkpoint_every)
+            save_graph(g, checkpoint_path)
+            g._block_fit_cache = None
+            g._mut_since_fit = 0
+            g._dirty = True
+        return g
 
     def refine(self, wave: int = 2048, slots=None,
                local: bool = False) -> None:

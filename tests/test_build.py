@@ -247,3 +247,54 @@ def test_fp16_descent_matches_f32_descent_quality():
     r32 = build_and_recall("float32")
     r16 = build_and_recall("float16")
     assert r16 >= r32 - 0.03, (r16, r32)
+
+
+def test_checkpointed_build_resumes_after_crash(tmp_path, monkeypatch):
+    """A killed device build restarts from its last wave checkpoint:
+    the resumed graph serves every key at quality parity with a
+    straight build (the relay tunnel has wedged 2+ h mid-build —
+    CLAUDE.md hazards — so long builds must be restartable)."""
+    import hnsw_tpu.io.codec as codec
+
+    n, d, ef = 1500, 32, 96
+    vecs = make_vectors(n, d, seed=5)
+    keys = list(range(n))
+    ckpt = str(tmp_path / "build.npz")
+
+    real_save = codec.save_graph
+    calls = []
+
+    def crashy_save(g, p, **kw):
+        real_save(g, p, **kw)
+        calls.append(p)
+        if len(calls) == 2:
+            raise RuntimeError("simulated relay wedge")
+
+    monkeypatch.setattr(codec, "save_graph", crashy_save)
+    g = Graph(m=8, metric="cosine", seed=0)
+    with pytest.raises(RuntimeError, match="simulated relay wedge"):
+        g.build(keys, vecs, method="device", wave=256,
+                checkpoint_path=ckpt, checkpoint_every=1)
+    monkeypatch.setattr(codec, "save_graph", real_save)
+
+    g2 = Graph.resume_build(ckpt, wave=256)
+    assert g2.host.count == n
+    assert all((g2.host.levels[g2.slots.key_to_slot[k]] >= 0)
+               for k in keys)
+    # quality parity with an uninterrupted build
+    g_ref = Graph(m=8, metric="cosine", seed=0)
+    g_ref.build(keys, vecs, method="device", wave=256)
+    q = make_vectors(64, d, seed=99)
+    _, gt = np_exact_topk(q, vecs, 10, "cosine")
+    for gg, name in ((g2, "resumed"), (g_ref, "straight")):
+        kk, _ = gg.batch_search(q, 10, ef=ef)
+        rec = np.mean([len(set(kk[r]) & set(map(int, gt[r]))) / 10
+                       for r in range(64)])
+        if name == "resumed":
+            rec_resumed = rec
+        else:
+            rec_ref = rec
+    assert rec_resumed >= rec_ref - 0.05, (rec_resumed, rec_ref)
+    # a COMPLETED checkpoint resumes to a no-op load
+    g3 = Graph.resume_build(ckpt)
+    assert g3.host.count == n
