@@ -185,28 +185,32 @@ def main():
     if what in ("build", "all"):
         g = Graph(m=16, ef_search=20, metric="cosine", seed=0)
         t0 = time.perf_counter()
+        # restartable: a wedged relay or a kill loses <= checkpoint_every
+        # waves, not the whole multi-hour run (Graph.resume_build picks
+        # it up from `cache`, which doubles as the checkpoint — the
+        # final checkpoint IS the complete serving cache). A full
+        # save_graph is ~115 MB/s of npz, so stretch the interval at
+        # 16M (each snapshot ~320 s there vs ~160 s at 8M).
         g.build(list(range(n)), data, wave=wave, method="device",
                 quant_descent=False,
-                descent_dtype="float16" if fp16 else "float32")
+                descent_dtype="float16" if fp16 else "float32",
+                checkpoint_path=cache,
+                checkpoint_every=256 if n > 10_000_000 else 128)
         build_s = time.perf_counter() - t0
         emit({"op": "device_build", "n": n, "wave": wave,
               "kind": "clustered", "quant_descent": False,
               "descent_dtype": "float16" if fp16 else "float32",
               "compact_upper": True, "seconds": round(build_s, 1)})
-        try:
-            from hnsw_tpu.io.codec import save_graph
-            t0 = time.perf_counter()
-            save_graph(g, cache)
-            print(f"# cache save: {time.perf_counter() - t0:.0f}s",
-                  flush=True)
-        except Exception as e:
-            print(f"# graph cache save failed: {e}", flush=True)
         if what == "build":
             return
     else:
-        from hnsw_tpu.io.codec import load_graph
+        # resume_build: a finished checkpoint just loads; a partial one
+        # (killed/wedged build) finishes its remaining waves first — a
+        # serve run can never silently measure a half-built graph.
         t0 = time.perf_counter()
-        g = load_graph(cache)
+        g = Graph.resume_build(cache, wave=wave,
+                               descent_dtype="float16" if fp16
+                               else "float32")
         print(f"# cache load: {time.perf_counter() - t0:.0f}s", flush=True)
 
     if fp16:
