@@ -32,6 +32,7 @@ from hnsw_tpu.core.state import bucket_pow2
 from hnsw_tpu.ops.distance import INF_DIST, pairwise_dist
 from hnsw_tpu.ops.topk import merge_topk, topk_smallest
 from hnsw_tpu.utils.keystore import HostVectorStore, SlotMap
+from hnsw_tpu.utils.transfer import chunked_put
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -108,10 +109,10 @@ def _device_assign(vectors: np.ndarray, cents, metric: str) -> np.ndarray:
     """Host wrapper: pow2-bucket N (bounded recompiles), assign on device."""
     n = vectors.shape[0]
     nb = bucket_pow2(max(n, 1), 1024)
-    vp = np.zeros((nb, vectors.shape[1]), np.float32)
-    vp[:n] = vectors
-    a = np.asarray(_assign_parts(jnp.asarray(vp),
-                                 jnp.asarray(cents, dtype=jnp.float32),
+    # bounded H2D (relay-tunnel hazard at GB scale); pad on device
+    vd = chunked_put(np.asarray(vectors, np.float32),
+                     shape=(nb, vectors.shape[1]))
+    a = np.asarray(_assign_parts(vd, jnp.asarray(cents, jnp.float32),
                                  metric))
     return a[:n]
 
@@ -211,11 +212,12 @@ class IVFIndex:
                 (self.P - len(cents), vectors.shape[1])).astype(np.float32)
             cents = np.concatenate([cents, extra])
         nb = bucket_pow2(max(n, 1), 1024)
-        vp = np.zeros((nb, vectors.shape[1]), np.float32)
-        vp[:n] = vectors
         valid = np.zeros(nb, bool)
         valid[:n] = True
-        v_dev = jnp.asarray(vp)
+        # bounded H2D: at 8M x 128 the f32 table is 4.3 GB — a single
+        # jnp.asarray wedges the relay tunnel (CLAUDE.md hazards)
+        v_dev = chunked_put(np.asarray(vectors, np.float32),
+                            shape=(nb, vectors.shape[1]))
         m_dev = jnp.asarray(valid)
         c_dev = jnp.asarray(cents.astype(np.float32))
         for _ in range(self.kmeans_iters):
@@ -303,9 +305,13 @@ class IVFIndex:
             block_sq[b, :w] = self.store.sq_norms[mem_arr]
             block_valid[b, :w] = True
             block_slot[b, :w] = mem_arr
-        self._dev_slots = jnp.asarray(block_slot)
-        self._dev = (jnp.asarray(blocks), jnp.asarray(block_sq),
-                     jnp.asarray(block_valid), block_slot,
+        # int32 explicitly: slots are dense and < 2^30 by construction
+        # (the old jnp.asarray relied on the silent x64-disabled cast)
+        self._dev_slots = chunked_put(block_slot.astype(np.int32))
+        # blocks is the GB-scale table (NB x bs x D f32 ~ N x D padded);
+        # every leg rides the bounded chunked uploader
+        self._dev = (chunked_put(blocks), chunked_put(block_sq),
+                     chunked_put(block_valid), block_slot,
                      jnp.asarray(self.centroids), part_blocks)
         self._dirty = False
         return self._dev
