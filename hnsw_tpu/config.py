@@ -36,6 +36,38 @@ def canonical_metric(name: str) -> str:
         f"registered via hnsw_tpu.register_distance()")
 
 
+#: spelling -> canonical class for every precision knob in the package
+_DTYPE_CANON = {
+    "bf16": "bf16", "bfloat16": "bf16",
+    "fp16": "fp16", "float16": "fp16", "half": "fp16",
+    "f32": "float32", "fp32": "float32", "float32": "float32",
+}
+
+
+def canonical_dtype(value, allowed, knob: str = "dtype") -> str:
+    """Resolve a precision-knob spelling to the knob's own vocabulary.
+
+    The package grew several precision knobs (ExactIndex.hbm_dtype,
+    StreamingExactIndex.stream_dtype, GraphConfig.store_dtype,
+    Graph.hbm_mode, Graph.build(descent_dtype=...)) whose internal
+    vocabularies spell the same dtypes differently ("bf16" vs
+    "bfloat16", "fp16" vs "float16"). Every knob routes through here,
+    so ANY spelling a sibling knob accepts resolves at all of them —
+    returned as the entry of ``allowed`` in the same alias class.
+    Non-dtype mode words ("auto", "full", "quantized", "int8") pass
+    through when listed in ``allowed``.
+    """
+    v = str(value).lower()
+    cv = _DTYPE_CANON.get(v, v)
+    for a in allowed:
+        if _DTYPE_CANON.get(a, a) == cv:
+            return a
+    raise ValueError(
+        f"{knob} must be one of {tuple(allowed)} (dtype aliases "
+        f"bf16/bfloat16, fp16/float16/half, f32/fp32/float32 are "
+        f"accepted); got {value!r}")
+
+
 @dataclasses.dataclass(frozen=True)
 class GraphConfig:
     """HNSW graph hyper-parameters.
@@ -112,8 +144,12 @@ class GraphConfig:
         if self.m0 is not None and self.m0 < self.m:
             raise ValueError(f"m0 ({self.m0}) must be >= m ({self.m})")
         canonical_metric(self.metric)
-        if self.store_dtype not in ("float32", "float16", "bfloat16"):
-            raise ValueError(f"bad store_dtype {self.store_dtype}")
+        # normalize in place (frozen dataclass): consumers key dicts on
+        # the canonical spelling, so "bf16"-style aliases must resolve
+        # here, not just pass a membership check
+        object.__setattr__(self, "store_dtype", canonical_dtype(
+            self.store_dtype, ("float32", "float16", "bfloat16"),
+            "store_dtype"))
 
     def replace(self, **kw) -> "GraphConfig":
         return dataclasses.replace(self, **kw)
@@ -172,10 +208,10 @@ class HybridConfig:
                 raise ValueError(f"bad ivf_nprobe {self.ivf_nprobe!r}")
         elif self.ivf_nprobe <= 0:
             raise ValueError("ivf_nprobe must be > 0 or 'auto'")
-        if self.exact_hbm_dtype not in ("float32", "bf16", "fp16",
-                                        "int8", "auto"):
-            raise ValueError(
-                f"bad exact_hbm_dtype {self.exact_hbm_dtype!r}")
+        object.__setattr__(self, "exact_hbm_dtype", canonical_dtype(
+            self.exact_hbm_dtype,
+            ("float32", "bf16", "fp16", "int8", "auto"),
+            "exact_hbm_dtype"))
         canonical_metric(self.metric)
 
 
@@ -258,8 +294,8 @@ class StoreConfig:
             raise ValueError(f"bad format {self.format}")
         if self.wal_flush_interval_seconds < 0:
             raise ValueError("wal_flush_interval_seconds must be >= 0")
-        if self.hbm_mode not in ("full", "quantized", "float16"):
-            raise ValueError(f"bad hbm_mode {self.hbm_mode!r}")
+        object.__setattr__(self, "hbm_mode", canonical_dtype(
+            self.hbm_mode, ("full", "quantized", "float16"), "hbm_mode"))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -106,8 +106,9 @@ class AdaptiveSelector:
             batch-global — decided once, not per query;
           * only the cluster-hit test varies per query (vectorized
             rounding + one count-dict pass);
-          * exploration spends its expected per-query volume
-            (ceil(ε·B) queries) on ONE side strategy per batch
+          * exploration spends its expected per-query volume (ε·B
+            queries: floor + a Bernoulli coin on the remainder, so the
+            long-run rate is ε at every B) on ONE side strategy per batch
             (rotated by the selector's rng) — ε-greedy's long-run
             exploration rates without >2 device dispatch groups.
         """
@@ -134,8 +135,16 @@ class AdaptiveSelector:
             perf = self._select_by_performance()
             if perf is not None:
                 base[:] = perf
-        n_exp = int(np.ceil(self.cfg.exploration_factor * B)) \
-            if self.cfg.exploration_factor > 0 else 0
+        # floor + Bernoulli(remainder): the long-run exploration rate
+        # is exactly ε at EVERY batch size. ceil() over-explored small
+        # batches catastrophically — at B=1 it routed 100% of queries
+        # (not ε) to a random strategy.
+        n_exp = 0
+        if self.cfg.exploration_factor > 0:
+            vol = self.cfg.exploration_factor * B
+            n_exp = int(vol)
+            if self.rng.random() < vol - n_exp:
+                n_exp += 1
         if n_exp > 0:
             strat = self.rng.choice(EXPLORE_STRATEGIES)
             idx = self.rng.sample(range(B), min(n_exp, B))

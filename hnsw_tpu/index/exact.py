@@ -15,8 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hnsw_tpu.config import canonical_metric
-from hnsw_tpu.ops.distance import INF_DIST
+from hnsw_tpu.config import canonical_dtype, canonical_metric
+from hnsw_tpu.ops.distance import INF_DIST, np_gram_epilogue
 from hnsw_tpu.ops.topk import exact_topk
 from hnsw_tpu.utils.keystore import HostVectorStore, SlotMap
 
@@ -60,8 +60,9 @@ class ExactIndex:
         #: float32 with a full-density, arithmetic-faithful containment
         #: check (_reduced_fit) — clustered embeddings fall to the
         #: first rung that can actually rank them.
-        if hbm_dtype not in ("float32", "bf16", "fp16", "int8", "auto"):
-            raise ValueError(f"bad hbm_dtype {hbm_dtype!r}")
+        hbm_dtype = canonical_dtype(
+            hbm_dtype, ("float32", "bf16", "fp16", "int8", "auto"),
+            "hbm_dtype")
         self.hbm_dtype = hbm_dtype
         self._resolved_hbm = hbm_dtype
         self._hbm_fit_cache: Optional[Tuple[str, int]] = None
@@ -162,12 +163,7 @@ class ExactIndex:
         sq = np.sum(rows.astype(np.float64) * rows, axis=1
                     ).astype(np.float32)
         p_sq = np.sum(pr * pr, axis=-1)
-        if self.metric == "dot":
-            dq = -qv
-        elif self.metric == "cosine":
-            dq = 1.0 - qv / np.sqrt(p_sq[:, None] * sq[None, :] + 1e-30)
-        else:
-            dq = np.maximum(p_sq[:, None] + sq[None, :] - 2.0 * qv, 0.0)
+        dq = np_gram_epilogue(qv, p_sq[:, None], sq[None, :], self.metric)
         kk = min(kk, n)
         qt = np.argpartition(dq, kk - 1, axis=1)[:, :kk]
         from hnsw_tpu.ops.topk import np_exact_topk
@@ -380,16 +376,8 @@ class ExactIndex:
         alive = self.store.alive[:n]
         qf = np.atleast_2d(np.asarray(queries, np.float32))
         qv = qf @ v.T                                        # [Q, n]
-        if self.metric == "dot":
-            d = -qv
-        elif self.metric == "cosine":
-            q_sq = np.sum(qf * qf, axis=-1)
-            d = 1.0 - qv / np.sqrt(q_sq[:, None] * sq[None, :] + 1e-30)
-        else:
-            q_sq = np.sum(qf * qf, axis=-1)
-            d = np.maximum(q_sq[:, None] + sq[None, :] - 2.0 * qv, 0.0)
-            if self.metric == "l2":
-                d = np.sqrt(d)
+        q_sq = np.sum(qf * qf, axis=-1)
+        d = np_gram_epilogue(qv, q_sq[:, None], sq[None, :], self.metric)
         d = np.where(alive[None, :], d, INF_DIST).astype(np.float32)
         kk = min(k, n)
         part = np.argpartition(d, kk - 1, axis=1)[:, :kk]

@@ -25,12 +25,13 @@ from typing import Any, Hashable, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from hnsw_tpu.config import GraphConfig, canonical_metric
+from hnsw_tpu.config import GraphConfig, canonical_dtype, canonical_metric
 from hnsw_tpu.core import build as build_mod
 from hnsw_tpu.core import host_build
 from hnsw_tpu.core.search import search_graph
 from hnsw_tpu.core.state import DeviceGraph, bucket_pow2, from_host
-from hnsw_tpu.ops.distance import INF_DIST, np_pairwise_dist
+from hnsw_tpu.ops.distance import (INF_DIST, np_gram_epilogue,
+                                   np_pairwise_dist)
 from hnsw_tpu.utils.keystore import HostVectorStore, SlotMap
 
 
@@ -154,8 +155,8 @@ class Graph:
 
     @block_dtype.setter
     def block_dtype(self, dt: str) -> None:
-        if dt not in ("auto", "int8", "float16"):
-            raise ValueError(f"bad block_dtype {dt!r}")
+        dt = canonical_dtype(dt, ("auto", "int8", "float16"),
+                             "block_dtype")
         if dt != self._block_dtype:
             self._block_dtype = dt
             self._block_fit_cache = None
@@ -234,10 +235,8 @@ class Graph:
 
     @hbm_mode.setter
     def hbm_mode(self, mode: str) -> None:
-        if mode == "fp16":            # the exact tier's spelling
-            mode = "float16"
-        if mode not in ("full", "float16", "quantized"):
-            raise ValueError(f"bad hbm_mode {mode!r}")
+        mode = canonical_dtype(mode, ("full", "float16", "quantized"),
+                               "hbm_mode")
         from hnsw_tpu.ops.distance import registered
         if mode != "full" and registered(self.metric) is not None:
             raise ValueError(
@@ -326,13 +325,11 @@ class Graph:
         at 8M, every 128 waves: ~1 GB neighbor D2H + one npz write —
         a few percent of wall-clock.
         """
-        # accept the exact tier's spelling too ("fp16" — hbm_dtype
-        # knobs); an unknown value must fail HERE, not fall through to
-        # a silent full-f32 build that OOMs an hour into a 16M run
-        if descent_dtype == "fp16":
-            descent_dtype = "float16"
-        if descent_dtype not in ("float32", "float16"):
-            raise ValueError(f"bad descent_dtype {descent_dtype!r}")
+        # canonical spelling (any sibling knob's alias accepted); an
+        # unknown value must fail HERE, not fall through to a silent
+        # full-f32 build that OOMs an hour into a 16M run
+        descent_dtype = canonical_dtype(
+            descent_dtype, ("float32", "float16"), "descent_dtype")
         vectors = np.asarray(vectors, np.float32)
         if len(keys) != len(vectors):
             raise ValueError("keys/vectors length mismatch")
@@ -367,8 +364,12 @@ class Graph:
                                descent_dtype=descent_dtype,
                                on_checkpoint=on_ckpt,
                                checkpoint_every=checkpoint_every)
-            if checkpoint_path is not None:
-                save_graph(self, checkpoint_path)   # final, complete
+        if checkpoint_path is not None:
+            # final, complete — written for the HOST path too (a
+            # minutes-scale native build still honors the contract that
+            # resume_build(checkpoint_path) finds a loadable graph)
+            from hnsw_tpu.io.codec import save_graph
+            save_graph(self, checkpoint_path)
         self._block_fit_cache = None   # bulk data change: re-check fit
         self._mut_since_fit = 0
         self._dirty = True
@@ -647,14 +648,8 @@ class Graph:
             rows = self.store.get_batch(sl).astype(np.float32)
             qv = qf @ rows.T
             c_sq = self.store.sq_norms[sl]
-            if self.metric == "dot":
-                d = -qv
-            elif self.metric == "cosine":
-                d = 1.0 - qv / np.sqrt(q_sq[:, None] * c_sq + 1e-30)
-            else:
-                d = np.maximum(q_sq[:, None] + c_sq - 2.0 * qv, 0.0)
-                if self.metric == "l2":
-                    d = np.sqrt(d)
+            d = np_gram_epilogue(qv, q_sq[:, None], c_sq[None, :],
+                                 self.metric)
             kk = min(k, d.shape[1])
             part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
             best_d.append(np.take_along_axis(d, part, axis=1))

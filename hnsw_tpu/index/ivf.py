@@ -29,7 +29,8 @@ import numpy as np
 
 from hnsw_tpu.config import canonical_metric
 from hnsw_tpu.core.state import bucket_pow2
-from hnsw_tpu.ops.distance import INF_DIST, pairwise_dist
+from hnsw_tpu.ops.distance import (INF_DIST, np_gram_epilogue,
+                                   pairwise_dist)
 from hnsw_tpu.ops.topk import merge_topk, topk_smallest
 from hnsw_tpu.utils.keystore import HostVectorStore, SlotMap
 from hnsw_tpu.utils.transfer import chunked_put
@@ -358,16 +359,10 @@ class IVFIndex:
             chunk_slots = live[c0:c0 + 131072]
             mat = self.store.vectors[chunk_slots]
             qv = queries @ mat.T
-            if self.metric == "dot":
-                d = -qv
-            elif self.metric == "cosine":
-                nr = np.sqrt(np.maximum(
-                    self.store.sq_norms[chunk_slots], 1e-30))
-                d = 1.0 - qv / (np.sqrt(np.maximum(q_sq, 1e-30))[:, None]
-                                * nr[None, :])
-            else:
-                d = (q_sq[:, None] + self.store.sq_norms[chunk_slots][None]
-                     - 2.0 * qv)
+            d = np_gram_epilogue(
+                qv, q_sq[:, None],
+                self.store.sq_norms[chunk_slots][None], self.metric
+            ).astype(np.float32)
             cat_d = np.concatenate([gd, d], axis=1)
             cat_i = np.concatenate(
                 [gi, np.broadcast_to(chunk_slots, (P_, len(chunk_slots)))],

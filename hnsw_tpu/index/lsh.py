@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hnsw_tpu.config import canonical_metric
-from hnsw_tpu.ops.distance import INF_DIST
+from hnsw_tpu.ops.distance import INF_DIST, np_gram_epilogue
 from hnsw_tpu.ops.hashing import (hash_codes, make_hyperplanes,
                                   np_hash_codes)
 from hnsw_tpu.core.build import _cand_dist_dev
@@ -195,16 +195,7 @@ class LSHIndex:
             rows = self.store.vectors[cl]
             qv = rows @ q
             c_sq = self.store.sq_norms[cl]
-            if self.metric == "dot":
-                d = -qv
-            elif self.metric == "cosine":
-                q_sq = float(q @ q)
-                d = 1.0 - qv / np.sqrt(q_sq * c_sq + 1e-30)
-            else:
-                q_sq = float(q @ q)
-                d = np.maximum(q_sq + c_sq - 2.0 * qv, 0.0)
-                if self.metric == "l2":
-                    d = np.sqrt(d)
+            d = np_gram_epilogue(qv, float(q @ q), c_sq, self.metric)
             kk = min(k, len(cl))
             order = np.argsort(d, kind="stable")[:kk]
             out_d[qi, :kk] = d[order]

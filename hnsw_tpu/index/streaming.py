@@ -21,7 +21,7 @@ from typing import Any, Hashable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from hnsw_tpu.config import canonical_metric
+from hnsw_tpu.config import canonical_dtype, canonical_metric
 from hnsw_tpu.io.mmap_store import MmapVectorStore
 from hnsw_tpu.ops.distance import INF_DIST
 from hnsw_tpu.utils.keystore import SlotMap
@@ -62,8 +62,9 @@ class StreamingExactIndex:
         #: clustered-data caveat (int8 cannot rank tight clusters;
         #: fp16 is the tight-cluster 2-byte rung).  "float32" (default)
         #: keeps the recall-1.0 guarantee with no rerank.
-        if stream_dtype not in ("float32", "bf16", "fp16", "int8"):
-            raise ValueError(f"bad stream_dtype {stream_dtype!r}")
+        stream_dtype = canonical_dtype(
+            stream_dtype, ("float32", "bf16", "fp16", "int8"),
+            "stream_dtype")
         if (stream_dtype != "float32"
                 and self.metric not in ("cosine", "l2", "sqeuclidean",
                                         "dot")):

@@ -162,10 +162,12 @@ def _load(z, config=None, allow_pickle: bool = False):
     stored_cfg = json.loads(bytes(z["config"].tobytes()).decode())
     if "keys_int" in z.files:
         vals = z["keys_int"].tolist()        # one pass -> Python ints
-        nones = z["keys_none"]
+        # .tolist() the mask too: per-element numpy bool indexing costs
+        # seconds at 8M+ slots on the 1-core host, on EVERY load/resume
+        nones = z["keys_none"].tolist()
         key_table = {
-            "slot_to_key": [None if nones[i] else vals[i]
-                            for i in range(len(vals))],
+            "slot_to_key": [None if n else v
+                            for n, v in zip(nones, vals)],
             "free": z["keys_free"].tolist(),
         }
     elif "keys_json" in z.files:

@@ -58,8 +58,11 @@ def _build() -> Optional[str]:
     if os.path.exists(so) and (os.path.getmtime(so) >=
                                os.path.getmtime(os.path.realpath(src))):
         return so
-    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-           src, "-o", so]
+    # -pthread: the engine spawns std::thread for batch fan-out; on
+    # glibc < 2.34 a plain -shared build aborts the host process with
+    # std::system_error at the first thread construction
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-pthread",
+           "-std=c++17", src, "-o", so]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return so

@@ -157,6 +157,25 @@ def point_dist(a, b, metric: str = "cosine") -> float:
     raise ValueError(metric)
 
 
+def np_gram_epilogue(qv: np.ndarray, q_sq, c_sq,
+                     metric: str) -> np.ndarray:
+    """Distances from a precomputed Gram block — the host twin of the
+    device epilogues above, for callers that already hold qv and the
+    squared norms (candidate reranks, chunked oracle scans, bucket
+    scans).  ``q_sq``/``c_sq`` must broadcast against ``qv``.  One
+    epsilon convention for every site (the per-site copies this
+    replaces had drifted on where 1e-30 was applied).  ``metric`` must
+    be a canonical builtin name."""
+    if metric == "dot":
+        return -qv
+    if metric == "cosine":
+        return 1.0 - qv / np.sqrt(q_sq * c_sq + _EPS)
+    d = np.maximum(q_sq + c_sq - 2.0 * qv, 0.0)
+    if metric == "l2":
+        d = np.sqrt(d)
+    return d
+
+
 def np_pairwise_dist(queries: np.ndarray, vectors: np.ndarray,
                      metric: str = "cosine") -> np.ndarray:
     """NumPy [Q, N] distances — host-side oracle / builder helper."""

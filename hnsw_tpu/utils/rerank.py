@@ -13,7 +13,7 @@ from typing import Tuple
 
 import numpy as np
 
-from hnsw_tpu.ops.distance import INF_DIST
+from hnsw_tpu.ops.distance import INF_DIST, np_gram_epilogue
 
 
 def host_rerank(store, metric: str, queries: np.ndarray,
@@ -28,16 +28,8 @@ def host_rerank(store, metric: str, queries: np.ndarray,
     qf = np.asarray(queries, np.float32)
     qv = np.einsum("qd,qrd->qr", qf, rows.astype(np.float32))
     c_sq = store.sq_norms[safe]
-    if metric == "dot":
-        d = -qv
-    elif metric == "cosine":
-        q_sq = np.sum(qf * qf, axis=-1)
-        d = 1.0 - qv / np.sqrt(q_sq[:, None] * c_sq + 1e-30)
-    else:
-        q_sq = np.sum(qf * qf, axis=-1)
-        d = np.maximum(q_sq[:, None] + c_sq - 2.0 * qv, 0.0)
-        if metric == "l2":
-            d = np.sqrt(d)
+    q_sq = np.sum(qf * qf, axis=-1)
+    d = np_gram_epilogue(qv, q_sq[:, None], c_sq, metric)
     d = np.where(cand >= 0, d, INF_DIST).astype(np.float32)
     order = np.argsort(d, axis=1, kind="stable")[:, :k]
     dk = np.take_along_axis(d, order, axis=1)
