@@ -132,7 +132,23 @@ def _assemble_wave_rows(vectors, sq, cand_d_l, cand_i_l, intra_d,
     return jnp.where((part_idx >= 0)[:, None], rows, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("deg", "metric", "diversify"))
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(nb_l, tgt_rows, rows):
+    """In-place row scatter into a neighbor table (donated).
+
+    ``tgt_rows`` >= nb_l.shape[0] are dropped (``mode="drop"``), so
+    callers flag skipped rows by pointing them past the table instead
+    of concatenating a sacrificial row. The eager
+    concat -> scatter -> slice chain this replaces materialized up to
+    three extra copies of the table per layer update — 6+ GB of
+    transients on a 2.1 GB 16M layer-0 table, which OOMed the 16M
+    single-chip build at its first wave. Donation aliases input and
+    output so the update is a true in-place scatter."""
+    return nb_l.at[tgt_rows].set(rows, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("deg", "metric", "diversify"),
+                   donate_argnums=(0,))
 def _reverse_update(nb_l, vectors, sq, tgt, src, *, deg, metric,
                     diversify=False, row_of=None):
     """Apply reverse edges (tgt <- src) to one layer's neighbor table.
@@ -480,6 +496,11 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
         # padded rows must not act as candidates
         wpad_mask = jnp.asarray(wslots_pad >= 0)
         intra = jnp.where(wpad_mask[None, :], intra, INF_DIST)
+        # the DeviceGraph's neighbors=nb0_dev[None] is an eager reshape
+        # COPY of the full layer-0 table (2.1 GB at 16M); it is only
+        # needed by the descent above — release it before the layer
+        # updates so their donated scatters have headroom
+        g = None  # noqa: F841
 
         max_l = int(max(wlevels.max(initial=0), host.top))
         for layer in range(0, min(max_l, L_all - 1) + 1):
@@ -524,9 +545,11 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                 tr = umap_dev[jnp.clip(tgt_slots, 0, cap_pad - 1)]
                 tgt_rows = jnp.where((tgt_slots < cap_pad) & (tr >= 0),
                                      tr, rows_n)
-            nb_l = jnp.concatenate(
-                [nb_l, jnp.full((1, Wl), -1, jnp.int32)]) \
-                .at[tgt_rows].set(full_rows, mode="drop")[:rows_n]
+            if layer == 0:
+                nb0_dev = None  # release: nb_l's buffer is donated next
+            else:
+                nbU_tabs[layer - 1] = None
+            nb_l = _scatter_rows(nb_l, tgt_rows, full_rows)
 
             # reverse edges (slot-space pairs; _reverse_update remaps)
             rev_t = rows.reshape(-1)
@@ -608,9 +631,7 @@ def _local_repair_wave(g: DeviceGraph, nb0_dev, vectors, sq, wsl, valid,
         rows = jnp.concatenate(
             [rows, jnp.full((Wv, Wl - deg), -1, jnp.int32)], axis=1)
     tgt = jnp.where(valid, wsl, cap_pad).astype(jnp.int32)
-    nb0 = jnp.concatenate(
-        [nb0_dev, jnp.full((1, Wl), -1, jnp.int32)]) \
-        .at[tgt].set(rows, mode="drop")[:cap_pad]
+    nb0 = _scatter_rows(nb0_dev, tgt, rows)
     rev_t = rows[:, :deg].reshape(-1)
     rev_s = jnp.repeat(tgt, deg)
     rev_t = jnp.where((rev_t >= 0) & (rev_s < cap_pad), rev_t, -1)
@@ -742,6 +763,9 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
         cand_d, cand_i = construction_descent(
             g, wq, ef=max(cfg.ef_construction, n_cand), m_out=n_cand,
             metric=metric, max_hops=cfg.max_hops)
+        # release the eager neighbors=nb0_dev[None] copy (see
+        # bulk_insert_device) before the donated layer updates
+        g = None  # noqa: F841
 
         max_l = int(wlevels.max(initial=0))
         for layer in range(0, min(max_l, L_all - 1) + 1):
@@ -775,9 +799,11 @@ def refine_device(host: host_build.HostGraph, *, wave: int = 2048,
                 tr = umap_dev[jnp.clip(tgt_slots, 0, cap_pad - 1)]
                 tgt_rows = jnp.where((tgt_slots < cap_pad) & (tr >= 0),
                                      tr, rows_n)
-            nb_l = jnp.concatenate(
-                [nb_l, jnp.full((1, Wl), -1, jnp.int32)]) \
-                .at[tgt_rows].set(full_rows, mode="drop")[:rows_n]
+            if layer == 0:
+                nb0_dev = None  # release: nb_l's buffer is donated next
+            else:
+                nbU_tabs[layer - 1] = None
+            nb_l = _scatter_rows(nb_l, tgt_rows, full_rows)
             rev_t = rows.reshape(-1)
             rev_s = jnp.repeat(tgt_slots.astype(jnp.int32), deg)
             rev_t = jnp.where((rev_t >= 0) & (rev_s < cap_pad), rev_t, -1)
