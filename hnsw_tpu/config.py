@@ -239,6 +239,17 @@ class AdaptiveConfig:
     #: bf16+approx ranking; measured recall 0.70 at 4k clustered).
     #: 0 disables probing.
     recall_probe_interval: int = 8
+    #: quality floor for arbitration: an arm whose MEASURED recall sits
+    #: below this loses _select_by_performance to any arm meeting it,
+    #: regardless of latency (the reference's flagship table serves
+    #: 0.96-0.98 recall — a 0.34-recall graph tier "winning" on its
+    #: 0.15 ms latency is not parity). Probe misses also bump the graph
+    #: tier's ef multiplicatively (and decay it on comfortable passes),
+    #: extending adaptive.go:316-343's latency-threshold self-tuning to
+    #: the quality axis. 0 disables both.
+    recall_target: float = 0.95
+    #: ceiling for the self-tuned graph ef.
+    max_ef: int = 1024
 
     def validate(self) -> None:
         if self.window_size <= 0:
@@ -247,6 +258,8 @@ class AdaptiveConfig:
             raise ValueError("exploration_factor must be in [0,1]")
         if self.recall_probe_interval < 0:
             raise ValueError("recall_probe_interval must be >= 0")
+        if not (0 <= self.recall_target <= 1):
+            raise ValueError("recall_target must be in [0,1]")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -157,24 +157,33 @@ class AdaptiveSelector:
 
     def _select_by_performance(self) -> Optional[str]:
         """Weighted latency/recall/success score (adaptive.go:346-372);
-        higher is better."""
-        best, best_score = None, -np.inf
+        higher is better. Arms whose MEASURED recall sits below
+        cfg.recall_target are a second class: any arm meeting the target
+        (or unprobed) beats every arm missing it — the latency weight
+        must not elect a fast-but-wrong tier (a 0.15 ms graph arm at
+        0.34 recall "beat" a 0.3 ms exact arm at 1.0 before this)."""
+        best, best_key = None, None
         lats = {s: st.avg_latency()
                 for s, st in self.metrics.by_strategy.items() if st.count}
         if not lats:
             return None
         max_lat = max(lats.values()) or 1e-9
+        target = self.cfg.recall_target
         for s, st in self.metrics.by_strategy.items():
             if st.count < 3:
                 continue
             lat_score = 1.0 - (st.avg_latency() / max_lat)
             r = st.avg_recall()
             recall = 0.5 if r is None else r   # unprobed != measured 0.0
+            # epsilon absorbs windowed-mean float error (mean of 20
+            # exact 0.95s is 0.9499999999999998)
+            below = bool(target and r is not None and r < target - 1e-6)
             score = (self.cfg.latency_weight * lat_score
                      + self.cfg.recall_weight * recall
                      + self.cfg.success_rate_weight * st.success_rate())
-            if score > best_score:
-                best, best_score = s, score
+            key = (not below, score)           # meets-target first
+            if best_key is None or key > best_key:
+                best, best_key = s, key
         return best
 
     # -- recording + threshold adaptation (adaptive.go:244-343) ----------------
@@ -238,6 +247,13 @@ class AdaptiveHybridIndex:
         #: batch_search calls since the last oracle recall probe
         #: (AdaptiveConfig.recall_probe_interval).
         self._since_probe = 0
+        #: single-query search() calls since the last oracle probe.
+        self._since_probe_q = 0
+        #: self-tuned graph ef (None = Graph's configured default).
+        #: Probe misses against recall_target double it, comfortable
+        #: passes decay it back — the quality analogue of the
+        #: reference's latency-threshold adaptation (adaptive.go:316).
+        self._graph_ef: Optional[int] = None
 
     def __len__(self) -> int:
         return len(self.exact)
@@ -322,10 +338,10 @@ class AdaptiveHybridIndex:
         if strategy == "hybrid":
             # LSH candidates + graph refinement, merged
             res = {k_: d for k_, d in self.lsh.search(query, k)}
-            for k_, d in self.graph.search(query, k):
+            for k_, d in self.graph.search(query, k, ef=self._graph_ef):
                 res.setdefault(k_, d)
             return sorted(res.items(), key=lambda r: r[1])[:k]
-        return self.graph.search(query, k)
+        return self.graph.search(query, k, ef=self._graph_ef)
 
     def search(self, query, k: int) -> List[Tuple[Any, float]]:
         query = np.asarray(query, np.float32)
@@ -349,12 +365,29 @@ class AdaptiveHybridIndex:
             res = self.exact.search(query, k)
             strat = "exact"
         dt = time.perf_counter() - t0
+        # oracle probe every Nth single query (the batch path already
+        # probes): without it the single-query bandit only ever sees
+        # latency, and a 0.15 ms graph arm at 0.34 recall beats the
+        # exact arm forever. Probe cost stays out of the recorded
+        # latency — it measures quality, not the serving path.
+        recall = (1.0 if strat == "exact" and self._exact_is_oracle()
+                  else None)
+        interval = self.selector.cfg.recall_probe_interval
+        if interval > 0 and success and recall is None:
+            self._since_probe_q += 1
+            if self._since_probe_q >= interval:
+                self._since_probe_q = 0
+                ok = self._probe_oracle(query[None], k)
+                if ok is not None:
+                    oracle = {kk for kk in ok[0] if kk is not None}
+                    if oracle:
+                        recall = (len(oracle & {kk for kk, _ in res})
+                                  / len(oracle))
+                        self._note_recall(strat, recall)
         if strat in self._warmed:
             self.selector.record(QueryMetrics(
                 strategy=strat, duration_s=dt, result_count=len(res),
-                success=success,
-                recall=(1.0 if strat == "exact" and self._exact_is_oracle()
-                        else None),
+                success=success, recall=recall,
                 distance_stats=DistanceStats.from_distances(
                     [d for _, d in res])))
         else:
@@ -371,7 +404,8 @@ class AdaptiveHybridIndex:
             keys, dists = self.lsh.batch_search(queries, k)
         elif strategy == "hybrid":
             lk, ld = self.lsh.batch_search(queries, k)
-            gk, gd = self.graph.batch_search(queries, k)
+            gk, gd = self.graph.batch_search(queries, k,
+                                             ef=self._graph_ef)
             out = []
             for qi in range(len(queries)):
                 merged = {kk: dd for kk, dd in zip(lk[qi], ld[qi])
@@ -382,9 +416,28 @@ class AdaptiveHybridIndex:
                 out.append(sorted(merged.items(), key=lambda r: r[1])[:k])
             return out
         else:
-            keys, dists = self.graph.batch_search(queries, k)
+            keys, dists = self.graph.batch_search(queries, k,
+                                                  ef=self._graph_ef)
         return [[(kk, float(dd)) for kk, dd in zip(keys[qi], dists[qi])
                  if kk is not None] for qi in range(len(queries))]
+
+    def _note_recall(self, strategy: str, recall: Optional[float]) -> None:
+        """Feed a measured group recall into the graph tier's ef
+        self-tuning. A miss against cfg.recall_target doubles ef (cap
+        cfg.max_ef); a comfortable pass (target + 0.03) decays it 25%
+        back toward the configured default, so a transient hard batch
+        does not pin the tier at max_ef forever."""
+        target = self.selector.cfg.recall_target
+        if recall is None or not target or strategy not in ("hnsw",
+                                                            "hybrid"):
+            return
+        base = self.graph.ef_search
+        cur = self._graph_ef or base
+        if recall < target:
+            self._graph_ef = min(max(cur * 2, base),
+                                 self.selector.cfg.max_ef)
+        elif recall > target + 0.03 and cur > base:
+            self._graph_ef = max(base, int(cur * 0.75))
 
     def batch_search(self, queries, k: int) -> List[List[Tuple[Any, float]]]:
         """Batched adaptive dispatch: select strategies for the whole
@@ -450,6 +503,7 @@ class AdaptiveHybridIndex:
                         hits += len(oracle & got)
                         tot += len(oracle)
                     grp_recall = hits / tot if tot else None
+                    self._note_recall(strat, grp_recall)
             if strat in self._warmed:
                 # stride-sample down to the window size (extra records
                 # would only be evicted from the deque anyway)
