@@ -392,6 +392,27 @@ class AdaptiveHybridIndex:
                     [d for _, d in res])))
         else:
             self._warmed.add(strat)
+        # serve the champion when the explored/rule-picked arm is
+        # measured below the quality floor (its metrics above stay —
+        # exploration keeps learning; the user keeps quality)
+        champ = self._backstop_arm(strat) if success else None
+        if champ is not None:
+            t0 = time.perf_counter()
+            try:
+                res = self._run(champ, query, k)
+            except Exception:
+                return res
+            if champ in self._warmed:
+                self.selector.record(QueryMetrics(
+                    strategy=champ,
+                    duration_s=time.perf_counter() - t0,
+                    result_count=len(res), success=True,
+                    recall=(1.0 if champ == "exact"
+                            and self._exact_is_oracle() else None),
+                    distance_stats=DistanceStats.from_distances(
+                        [d for _, d in res])))
+            else:
+                self._warmed.add(champ)
         return res
 
     def _run_batch(self, strategy: str, queries: np.ndarray, k: int
@@ -420,6 +441,36 @@ class AdaptiveHybridIndex:
                                                   ef=self._graph_ef)
         return [[(kk, float(dd)) for kk, dd in zip(keys[qi], dists[qi])
                  if kk is not None] for qi in range(len(queries))]
+
+    def _backstop_arm(self, strategy: str) -> Optional[str]:
+        """Champion arm whose results should REPLACE a serve from
+        ``strategy`` when that arm is measured below recall_target.
+
+        ε-greedy exploration (and the pre-adaptation threshold rules)
+        must keep running below-target arms to keep their metrics
+        fresh — but the reference's flagship table serves 0.96-0.98
+        recall, and 10% of queries served raw at 0.3-0.5 recall caps
+        the mix at ~0.94. So: explore in the shadow, serve the
+        champion. Returns None when ``strategy``'s measured recall is
+        unknown or meets the target (nothing to backstop)."""
+        target = self.selector.cfg.recall_target
+        if not target:
+            return None
+        st = self.selector.metrics.stats(strategy)
+        r = st.avg_recall() if st is not None else None
+        if r is None or r >= target - 1e-6:
+            return None
+        # below target: prefer the exact oracle (recall 1.0 by
+        # construction); else the performance pick if IT meets target
+        if strategy != "exact" and self._exact_is_oracle():
+            return "exact"
+        perf = self.selector._select_by_performance()
+        if perf and perf != strategy:
+            ps = self.selector.metrics.stats(perf)
+            pr = ps.avg_recall() if ps is not None else None
+            if pr is not None and pr >= target - 1e-6:
+                return perf
+        return None
 
     def _note_recall(self, strategy: str, recall: Optional[float]) -> None:
         """Feed a measured group recall into the graph tier's ef
@@ -518,6 +569,23 @@ class AdaptiveHybridIndex:
                             [d for _, d in r])))
             else:
                 self._warmed.add(strat)
+        # champion backstop (see _backstop_arm): queries served by a
+        # measured-below-target arm are re-served from the champion,
+        # one batched sweep per champion arm. The below-target group's
+        # own run above already recorded its metrics — exploration
+        # keeps learning while the served results keep quality.
+        backstops: Dict[str, List[int]] = {}
+        for strat, idxs in groups.items():
+            ch = self._backstop_arm(strat)
+            if ch is not None:
+                backstops.setdefault(ch, []).extend(idxs)
+        for ch, idxs in backstops.items():
+            try:
+                res_c = self._run_batch(ch, queries[idxs], k)
+            except Exception:
+                continue
+            for qi, r in zip(idxs, res_c):
+                out[qi] = r
         if shortfall:
             fb_res = self._run_batch("exact", queries[shortfall], k)
             for qi, r in zip(shortfall, fb_res):

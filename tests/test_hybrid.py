@@ -453,3 +453,43 @@ def test_adaptive_serves_target_recall_on_random_data():
     hits = sum(len({kk for kk, _ in out[i]} & set(gt[i].tolist()))
                for i in range(len(q)))
     assert hits / (len(q) * k) >= 0.9, hits / (len(q) * k)
+
+
+def test_exploration_serves_champion_backstop():
+    """An arm MEASURED below recall_target keeps getting explored (its
+    metrics stay fresh) but its results are replaced by the champion's
+    before serving — both in batch_search and single-query search."""
+    from hnsw_tpu.telemetry import QueryMetrics
+    n, d, k = 800, 32, 5
+    v = make_vectors(n, d, seed=107)
+    a = AdaptiveHybridIndex(
+        hybrid_config=HybridConfig(exact_threshold=100),
+        adaptive_config=AdaptiveConfig(exploration_factor=0.0,
+                                       min_samples_for_adaptation=10,
+                                       recall_target=0.95))
+    a.batch_add(list(range(n)), v)
+    # pin lsh as a measured-below-target arm, exact as the champion
+    for _ in range(12):
+        a.selector.record(QueryMetrics(strategy="lsh", duration_s=0.001,
+                                       result_count=k, recall=0.3))
+        a.selector.record(QueryMetrics(strategy="exact",
+                                       duration_s=0.002,
+                                       result_count=k, recall=1.0))
+    assert a._backstop_arm("lsh") == "exact"
+    assert a._backstop_arm("exact") is None
+    assert a._backstop_arm("hnsw") is None   # unmeasured: no backstop
+    a._warmed.update(("lsh", "exact"))
+    # force an lsh group through the batch path: results must be the
+    # champion's exact top-k
+    import unittest.mock as mock
+    with mock.patch.object(a.selector, "select_strategies_batch",
+                           return_value=["lsh"] * 8):
+        out = a.batch_search(v[:8], k)
+    assert [r[0][0] for r in out] == list(range(8))
+    for r in out:
+        assert r[0][1] < 1e-5
+    # single-query path: same replacement
+    with mock.patch.object(a.selector, "select_strategy",
+                           return_value="lsh"):
+        res = a.search(v[3], k)
+    assert res[0][0] == 3 and res[0][1] < 1e-5
