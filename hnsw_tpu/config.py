@@ -246,8 +246,11 @@ class AdaptiveConfig:
     #: 0.15 ms latency is not parity). Probe misses also bump the graph
     #: tier's ef multiplicatively (and decay it on comfortable passes),
     #: extending adaptive.go:316-343's latency-threshold self-tuning to
-    #: the quality axis. 0 disables both.
-    recall_target: float = 0.95
+    #: the quality axis. 0 disables both. Default matches the
+    #: reference's own flagship quality (0.96-1.00 across its table —
+    #: a 0.95 target let a 0.94-recall graph arm win the 1k row the
+    #: reference serves at 1.00).
+    recall_target: float = 0.98
     #: ceiling for the self-tuned graph ef.
     max_ef: int = 1024
 

@@ -76,7 +76,11 @@ class AdaptiveSelector:
     # -- selection (adaptive.go:196-241) ---------------------------------------
     def select_strategy(self, query: np.ndarray, dataset_size: int,
                         dim: int) -> str:
+        #: consumed by AdaptiveHybridIndex._backstop_arm: exploration
+        #: picks of UNMEASURED arms get champion-backstopped serves.
+        self.last_was_exploration = False
         if self.rng.random() < self.cfg.exploration_factor:
+            self.last_was_exploration = True
             return self.rng.choice(EXPLORE_STRATEGIES)  # explore
         clustered = self.observe_query_cluster(query)
         if dataset_size <= self.exact_threshold:
@@ -145,10 +149,12 @@ class AdaptiveSelector:
             n_exp = int(vol)
             if self.rng.random() < vol - n_exp:
                 n_exp += 1
+        self.last_explored_idx: set = set()
         if n_exp > 0:
             strat = self.rng.choice(EXPLORE_STRATEGIES)
             idx = self.rng.sample(range(B), min(n_exp, B))
             base[idx] = strat
+            self.last_explored_idx = set(idx)
         return list(base)
 
     def _enough_samples(self) -> bool:
@@ -395,7 +401,10 @@ class AdaptiveHybridIndex:
         # serve the champion when the explored/rule-picked arm is
         # measured below the quality floor (its metrics above stay —
         # exploration keeps learning; the user keeps quality)
-        champ = self._backstop_arm(strat) if success else None
+        champ = (self._backstop_arm(
+            strat, explored=getattr(self.selector,
+                                    "last_was_exploration", False))
+            if success else None)
         if champ is not None:
             t0 = time.perf_counter()
             try:
@@ -442,23 +451,27 @@ class AdaptiveHybridIndex:
         return [[(kk, float(dd)) for kk, dd in zip(keys[qi], dists[qi])
                  if kk is not None] for qi in range(len(queries))]
 
-    def _backstop_arm(self, strategy: str) -> Optional[str]:
+    def _backstop_arm(self, strategy: str,
+                      explored: bool = False) -> Optional[str]:
         """Champion arm whose results should REPLACE a serve from
-        ``strategy`` when that arm is measured below recall_target.
+        ``strategy`` when that arm is measured below recall_target —
+        or is an UNMEASURED ε-greedy pick (``explored``).
 
         ε-greedy exploration (and the pre-adaptation threshold rules)
         must keep running below-target arms to keep their metrics
         fresh — but the reference's flagship table serves 0.96-0.98
         recall, and 10% of queries served raw at 0.3-0.5 recall caps
         the mix at ~0.94. So: explore in the shadow, serve the
-        champion. Returns None when ``strategy``'s measured recall is
-        unknown or meets the target (nothing to backstop)."""
+        champion. A measured arm MEETING the target serves its own
+        results (no extra cost in steady state)."""
         target = self.selector.cfg.recall_target
         if not target:
             return None
         st = self.selector.metrics.stats(strategy)
         r = st.avg_recall() if st is not None else None
-        if r is None or r >= target - 1e-6:
+        if r is None and not explored:
+            return None
+        if r is not None and r >= target - 1e-6:
             return None
         # below target: prefer the exact oracle (recall 1.0 by
         # construction); else the performance pick if IT meets target
@@ -487,7 +500,9 @@ class AdaptiveHybridIndex:
         if recall < target:
             self._graph_ef = min(max(cur * 2, base),
                                  self.selector.cfg.max_ef)
-        elif recall > target + 0.03 and cur > base:
+        elif recall > min(target + 0.03, 0.998) and cur > base:
+            # cap the decay bar below 1.0 so a high target (0.98+)
+            # can still shed a transient ef bump
             self._graph_ef = max(base, int(cur * 0.75))
 
     def batch_search(self, queries, k: int) -> List[List[Tuple[Any, float]]]:
@@ -575,10 +590,17 @@ class AdaptiveHybridIndex:
         # own run above already recorded its metrics — exploration
         # keeps learning while the served results keep quality.
         backstops: Dict[str, List[int]] = {}
+        explored_idx = getattr(self.selector, "last_explored_idx", set())
         for strat, idxs in groups.items():
             ch = self._backstop_arm(strat)
-            if ch is not None:
+            if ch is not None:            # measured below target: all
                 backstops.setdefault(ch, []).extend(idxs)
+                continue
+            exp = [qi for qi in idxs if qi in explored_idx]
+            if exp:                       # unmeasured exploration picks
+                ch = self._backstop_arm(strat, explored=True)
+                if ch is not None:
+                    backstops.setdefault(ch, []).extend(exp)
         for ch, idxs in backstops.items():
             try:
                 res_c = self._run_batch(ch, queries[idxs], k)

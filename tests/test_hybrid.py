@@ -145,8 +145,11 @@ def test_adaptive_selector_performance_override():
     sel = AdaptiveSelector(AdaptiveConfig(exploration_factor=0.0,
                                           min_samples_for_adaptation=10))
     for i in range(20):
+        # comparable recall means MEETING cfg.recall_target (0.98
+        # default) — a 0.95-recall arm is below the floor and must NOT
+        # win on latency (test_below_target_arm_loses_arbitration)
         sel.record(QueryMetrics(strategy="hnsw", duration_s=0.001,
-                                result_count=10, recall=0.95))
+                                result_count=10, recall=0.99))
         sel.record(QueryMetrics(strategy="exact", duration_s=0.1,
                                 result_count=10, recall=1.0))
     # hnsw is 100x faster at comparable recall -> should win
