@@ -61,9 +61,11 @@ class AdaptiveSelector:
         self.query_clusters: Dict[str, int] = {}
 
     # -- query clustering (adaptive.go:375-424) ------------------------------
-    def _cluster_key(self, query: np.ndarray) -> str:
-        head = np.round(np.asarray(query[:8], np.float64), 1)
-        return ",".join(f"{x:.1f}" for x in head)
+    def _cluster_key(self, query: np.ndarray) -> bytes:
+        # rounded-head bytes: same bucketing as the reference's
+        # formatted-string key without per-query string formatting
+        head = np.round(np.asarray(query[:8], np.float64), 1) + 0.0
+        return head.tobytes()
 
     def observe_query_cluster(self, query: np.ndarray) -> bool:
         key = self._cluster_key(query)
@@ -119,8 +121,8 @@ class AdaptiveSelector:
         q = np.atleast_2d(np.asarray(queries, np.float32))
         B = q.shape[0]
         # vectorized cluster keys: one rounding pass, one dict sweep
-        heads = np.round(q[:, :8].astype(np.float64), 1)
-        keys = [",".join(f"{x:.1f}" for x in row) for row in heads]
+        heads = np.round(q[:, :8].astype(np.float64), 1) + 0.0
+        keys = [row.tobytes() for row in heads]
         clustered = np.zeros(B, bool)
         for i, key in enumerate(keys):
             seen = self.query_clusters.get(key, 0)

@@ -11,6 +11,7 @@ so we just do it inline — no async machinery to go wrong.
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from collections import deque
 from typing import Deque, Dict, List, Optional
@@ -28,11 +29,18 @@ class DistanceStats:
 
     @classmethod
     def from_distances(cls, dists) -> "DistanceStats":
-        d = np.asarray([x for x in np.ravel(dists) if np.isfinite(x)])
-        if d.size == 0:
+        # plain-Python math: inputs are <= k floats per query and this
+        # runs on EVERY recorded query — four numpy reductions on a
+        # 10-element list were ~0.16 ms of the single-query hot path
+        src = (dists if isinstance(dists, (list, tuple))
+               else np.ravel(dists).tolist())
+        vals = [float(x) for x in src if math.isfinite(x)]
+        if not vals:
             return cls()
-        return cls(min=float(d.min()), max=float(d.max()),
-                   mean=float(d.mean()), variance=float(d.var()))
+        n = len(vals)
+        mean = sum(vals) / n
+        var = sum((x - mean) * (x - mean) for x in vals) / n
+        return cls(min=min(vals), max=max(vals), mean=mean, variance=var)
 
 
 @dataclasses.dataclass
@@ -51,13 +59,47 @@ class QueryMetrics:
 
 class StrategyStats:
     """Per-strategy aggregate with P95 over a sliding window
-    (adaptive.go:274-313)."""
+    (adaptive.go:274-313).
+
+    Aggregates ride O(1) running sums maintained on record/evict — the
+    selector reads avg_latency/avg_recall/success_rate for every arm on
+    EVERY query, and rebuilding np.mean over the window was 40% of the
+    single-query adaptive path. Sums are rebuilt from the window every
+    4096 records to cap float drift."""
 
     def __init__(self, window_size: int = 100):
         self.window: Deque[QueryMetrics] = deque(maxlen=window_size)
+        self._lat_sum = 0.0
+        self._succ_sum = 0
+        self._recall_sum = 0.0
+        self._recall_n = 0
+        self._records = 0
 
     def record(self, m: QueryMetrics) -> None:
+        if (self.window.maxlen is not None
+                and len(self.window) == self.window.maxlen):
+            old = self.window[0]
+            self._lat_sum -= old.duration_s
+            self._succ_sum -= 1 if old.success else 0
+            if old.recall is not None:
+                self._recall_sum -= old.recall
+                self._recall_n -= 1
         self.window.append(m)
+        self._lat_sum += m.duration_s
+        self._succ_sum += 1 if m.success else 0
+        if m.recall is not None:
+            self._recall_sum += m.recall
+            self._recall_n += 1
+        self._records += 1
+        if self._records % 4096 == 0:
+            self._rebuild()
+
+    def _rebuild(self) -> None:
+        self._lat_sum = sum(m.duration_s for m in self.window)
+        self._succ_sum = sum(1 for m in self.window if m.success)
+        rec = [m.recall for m in self.window if m.recall is not None]
+        self._recall_sum = sum(rec)
+        self._recall_n = len(rec)
 
     @property
     def count(self) -> int:
@@ -66,7 +108,7 @@ class StrategyStats:
     def avg_latency(self) -> float:
         if not self.window:
             return 0.0
-        return float(np.mean([m.duration_s for m in self.window]))
+        return self._lat_sum / len(self.window)
 
     def p95_latency(self) -> float:
         if not self.window:
@@ -78,14 +120,14 @@ class StrategyStats:
     def avg_recall(self) -> Optional[float]:
         """Mean over MEASURED recalls (None entries are unprobed, not
         zero); None when nothing was ever measured."""
-        vals = [m.recall for m in self.window if m.recall is not None]
-        return float(np.mean(vals)) if vals else None
+        if not self._recall_n:
+            return None
+        return self._recall_sum / self._recall_n
 
     def success_rate(self) -> float:
         if not self.window:
             return 1.0
-        return float(np.mean([1.0 if m.success else 0.0
-                              for m in self.window]))
+        return self._succ_sum / len(self.window)
 
     def as_dict(self) -> Dict[str, float]:
         return {
