@@ -496,3 +496,25 @@ def test_exploration_serves_champion_backstop():
                            return_value="lsh"):
         res = a.search(v[3], k)
     assert res[0][0] == 3 and res[0][1] < 1e-5
+
+
+def test_strategy_stats_running_sums_match_window():
+    """StrategyStats' O(1) running aggregates stay exact through
+    window eviction (deque maxlen) and mixed None/measured recalls."""
+    from hnsw_tpu.telemetry import MetricsWindow, QueryMetrics
+    rng = np.random.default_rng(9)
+    w = MetricsWindow(window_size=16)
+    for i in range(100):
+        w.record(QueryMetrics(
+            strategy="hnsw", duration_s=float(rng.random()),
+            result_count=10,
+            recall=(float(rng.random()) if i % 3 else None),
+            success=bool(i % 7)))
+    st = w.by_strategy["hnsw"]
+    lats = [m.duration_s for m in st.window]
+    recs = [m.recall for m in st.window if m.recall is not None]
+    assert abs(st.avg_latency() - sum(lats) / len(lats)) < 1e-12
+    assert abs(st.avg_recall() - sum(recs) / len(recs)) < 1e-12
+    assert abs(st.success_rate()
+               - sum(1 for m in st.window if m.success) / len(st.window)
+               ) < 1e-12
