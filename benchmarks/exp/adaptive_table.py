@@ -30,14 +30,9 @@ from hnsw_tpu.utils.warmup import warmup_transfers  # noqa: E402
 warmup_transfers()
 
 from benchmarks.datasets import synthetic_standin  # noqa: E402
+from benchmarks.sweep import recall_of  # noqa: E402
 from hnsw_tpu import AdaptiveHybridIndex, HybridConfig  # noqa: E402
 from hnsw_tpu.ops.topk import np_exact_topk  # noqa: E402
-
-
-def recall_of(ids, gt, k):
-    hits = sum(len({int(x) for x in ids[i][:k] if x is not None} &
-                   set(map(int, gt[i][:k]))) for i in range(len(gt)))
-    return hits / (len(gt) * k)
 
 
 def main():

@@ -263,6 +263,8 @@ class AdaptiveConfig:
             raise ValueError("recall_probe_interval must be >= 0")
         if not (0 <= self.recall_target <= 1):
             raise ValueError("recall_target must be in [0,1]")
+        if self.max_ef < 1:
+            raise ValueError("max_ef must be >= 1")
 
 
 @dataclasses.dataclass(frozen=True)

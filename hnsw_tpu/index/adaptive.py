@@ -58,7 +58,7 @@ class AdaptiveSelector:
         self.exact_threshold = self.cfg.initial_exact_threshold
         self.dim_threshold = self.cfg.initial_dim_threshold
         self.rng = random.Random(seed)
-        self.query_clusters: Dict[str, int] = {}
+        self.query_clusters: Dict[bytes, int] = {}
 
     # -- query clustering (adaptive.go:375-424) ------------------------------
     def _cluster_key(self, query: np.ndarray) -> bytes:
@@ -355,6 +355,7 @@ class AdaptiveHybridIndex:
         query = np.asarray(query, np.float32)
         strat = self.selector.select_strategy(
             query, len(self), self._dim or len(query))
+        explored = getattr(self.selector, "last_was_exploration", False)
         t0 = time.perf_counter()
         success = True
         try:
@@ -367,6 +368,9 @@ class AdaptiveHybridIndex:
                     res = self._run(fb, query, k)
                     if len(res) >= min(k, len(self)):
                         strat = fb
+                        # the serve is now the FALLBACK's, not the
+                        # exploration pick's — don't double-serve it
+                        explored = False
                         break
         except Exception:
             success = False
@@ -403,25 +407,27 @@ class AdaptiveHybridIndex:
         # serve the champion when the explored/rule-picked arm is
         # measured below the quality floor (its metrics above stay —
         # exploration keeps learning; the user keeps quality)
-        champ = (self._backstop_arm(
-            strat, explored=getattr(self.selector,
-                                    "last_was_exploration", False))
-            if success else None)
+        champ = (self._backstop_arm(strat, explored=explored)
+                 if success else None)
         if champ is not None:
             t0 = time.perf_counter()
             try:
-                res = self._run(champ, query, k)
+                res_c = self._run(champ, query, k)
             except Exception:
                 return res
+            # keep the fallback chain's completeness guarantee: only
+            # serve the champion when it is at least as complete
+            if len(res_c) >= len(res):
+                res = res_c
             if champ in self._warmed:
                 self.selector.record(QueryMetrics(
                     strategy=champ,
                     duration_s=time.perf_counter() - t0,
-                    result_count=len(res), success=True,
+                    result_count=len(res_c), success=True,
                     recall=(1.0 if champ == "exact"
                             and self._exact_is_oracle() else None),
                     distance_stats=DistanceStats.from_distances(
-                        [d for _, d in res])))
+                        [d for _, d in res_c])))
             else:
                 self._warmed.add(champ)
         return res
@@ -500,8 +506,11 @@ class AdaptiveHybridIndex:
         base = self.graph.ef_search
         cur = self._graph_ef or base
         if recall < target:
+            # ceiling never tunes BELOW the configured default: with
+            # ef_search=1536 and max_ef=1024 a probe miss must not
+            # LOWER the serving ef
             self._graph_ef = min(max(cur * 2, base),
-                                 self.selector.cfg.max_ef)
+                                 max(self.selector.cfg.max_ef, base))
         elif recall > min(target + 0.03, 0.998) and cur > base:
             # cap the decay bar below 1.0 so a high target (0.98+)
             # can still shed a transient ef bump
@@ -537,6 +546,7 @@ class AdaptiveHybridIndex:
         interval = self.selector.cfg.recall_probe_interval
         probe_due = interval > 0 and self._since_probe + 1 >= interval
         self._since_probe = 0 if probe_due else self._since_probe + 1
+        group_ok: Dict[str, bool] = {}
         for strat, idxs in groups.items():
             qs = queries[idxs]
             t0 = time.perf_counter()
@@ -546,6 +556,7 @@ class AdaptiveHybridIndex:
             except Exception:
                 success = False
                 results = self._run_batch("exact", qs, k)
+            group_ok[strat] = success
             dt = (time.perf_counter() - t0) / max(len(idxs), 1)
             for j, qi in enumerate(idxs):
                 out[qi] = results[j]
@@ -594,6 +605,8 @@ class AdaptiveHybridIndex:
         backstops: Dict[str, List[int]] = {}
         explored_idx = getattr(self.selector, "last_explored_idx", set())
         for strat, idxs in groups.items():
+            if not group_ok.get(strat, False):
+                continue   # group already served by the exact fallback
             ch = self._backstop_arm(strat)
             if ch is not None:            # measured below target: all
                 backstops.setdefault(ch, []).extend(idxs)
@@ -609,10 +622,16 @@ class AdaptiveHybridIndex:
             except Exception:
                 continue
             for qi, r in zip(idxs, res_c):
-                out[qi] = r
+                # never trade completeness for the backstop; an
+                # incomplete champion result joins the shortfall tail
+                if len(r) >= len(out[qi] or ()):
+                    out[qi] = r
+                if len(r) < want:
+                    shortfall.append(qi)
         if shortfall:
-            fb_res = self._run_batch("exact", queries[shortfall], k)
-            for qi, r in zip(shortfall, fb_res):
+            sf = sorted(set(shortfall))
+            fb_res = self._run_batch("exact", queries[sf], k)
+            for qi, r in zip(sf, fb_res):
                 if len(r) > len(out[qi] or ()):
                     out[qi] = r
         return out  # type: ignore[return-value]
