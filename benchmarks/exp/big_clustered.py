@@ -144,7 +144,9 @@ def _serve_fp16(g, queries, n, k, B, emit):
                              set(map(int, gt[r])))
                          for r in range(B)) / (B * k), 4)
 
-    for ef in (96, 192, 384, 768):
+    ladder = tuple(int(x) for x in os.environ.get(
+        "HNSW_TPU_EF_LADDER", "96,192,384,768").split(","))
+    for ef in ladder:
         g.batch_search_slots(queries, k, ef=ef)         # warm/compile
         t0 = time.perf_counter()
         for _ in range(3):
