@@ -115,6 +115,40 @@ def main():
         print(f"# hnsw graph ef={ef}: {1024 / dt:.0f} qps "
               f"recall@10={rec:.4f}", file=sys.stderr)
 
+    # ---- native CPU latency tier (single-query serving) ------------------
+    # round-3 capability: B <= Graph.native_serve_max_batch routes to the
+    # C++ engine (native/hnsw_native.cpp) — no jit dispatch, no device
+    # link. Reference anchor: the Go adaptive hybrid averages 2.51 ms per
+    # query on this exact config (hybrid/README.md:650).
+    from hnsw_tpu import native as _native
+    lat_fields = {}
+    if _native.available():
+        nq1 = 256
+        g.search(q1k[0], k, ef=192)  # warm: engine construction
+        rungs = []
+        for ef1 in (192, 384):
+            lats, nhits = [], 0
+            for qi in range(nq1):
+                t1 = time.perf_counter()
+                res = g.search(q1k[qi], k, ef=ef1)
+                lats.append(time.perf_counter() - t1)
+                nhits += len({kk for kk, _ in res} & set(map(int, gt[qi])))
+            p50 = sorted(lats)[nq1 // 2] * 1e3
+            rec1 = nhits / (nq1 * k)
+            rungs.append((ef1, p50, rec1))
+            print(f"# native single-query p50: {p50:.3f} ms "
+                  f"recall@10={rec1:.4f} (ef={ef1})", file=sys.stderr)
+        # headline = fastest rung at the reference's quality band
+        ef1, p50, rec1 = min(
+            (r for r in rungs if r[2] >= 0.95),
+            key=lambda r: r[1], default=max(rungs, key=lambda r: r[2]))
+        lat_fields = {
+            "single_query_p50_ms": round(p50, 3),
+            "single_query_recall": round(rec1, 4),
+            "single_query_ef": ef1,
+            "latency_vs_baseline": round(2.51 / p50, 1),
+        }
+
     baseline_qps = 398.4  # reference adaptive hybrid, same config
     best95 = max((p for p in hnsw_points if p[2] >= 0.95),
                  key=lambda p: p[1],
@@ -137,6 +171,7 @@ def main():
         "hnsw_vs_baseline_at_0.98": round(best98[1] / baseline_qps, 1),
         "build_seconds": round(build_s, 1),
         "platform": jax.devices()[0].platform,
+        **lat_fields,
     }))
 
 
