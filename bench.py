@@ -20,6 +20,13 @@ import time
 
 import numpy as np
 
+# Reference anchor (hybrid/README.md:650): the Go adaptive hybrid
+# serves 10k x 128 cosine at 398.4 QPS ≈ 2.51 ms AVG latency at recall
+# 0.98. ONE constant — the latency anchor is derived, so a re-measured
+# baseline cannot drift apart (ADVICE r3).
+BASELINE_QPS = 398.4
+BASELINE_MS = 1000.0 / BASELINE_QPS
+
 
 def _bench(fn, reps=5):
     fn()  # compile + warm
@@ -28,6 +35,20 @@ def _bench(fn, reps=5):
         out = fn()
     dt = (time.perf_counter() - t0) / reps
     return dt, out
+
+
+def _latency_rungs(g, data, n):
+    """(name, single-query fn) rungs for the host latency tier: the
+    native graph beam at two ef points, and the native fused exact
+    scan (int8/fp16 SIMD + f32 rerank — the tier the hybrid engine
+    routes to at this scale)."""
+    from hnsw_tpu.index.exact import ExactIndex
+    ex = ExactIndex(metric="cosine")
+    ex.batch_add(list(range(n)), data)
+    rungs = [(f"hnsw:{ef}", lambda q, _ef=ef: g.search(q, 10, ef=_ef))
+             for ef in (192, 384)]
+    rungs.append(("exact_scan", lambda q: ex.search(q, 10)))
+    return rungs
 
 
 def main():
@@ -126,30 +147,63 @@ def main():
         nq1 = 256
         g.search(q1k[0], k, ef=192)  # warm: engine construction
         rungs = []
-        for ef1 in (192, 384):
+        for name, fn1 in _latency_rungs(g, data, n):
             lats, nhits = [], 0
+            fn1(q1k[0])  # warm (sidecar build / first-touch)
             for qi in range(nq1):
                 t1 = time.perf_counter()
-                res = g.search(q1k[qi], k, ef=ef1)
+                res = fn1(q1k[qi])
                 lats.append(time.perf_counter() - t1)
                 nhits += len({kk for kk, _ in res} & set(map(int, gt[qi])))
             p50 = sorted(lats)[nq1 // 2] * 1e3
+            mean = sum(lats) / nq1 * 1e3
             rec1 = nhits / (nq1 * k)
-            rungs.append((ef1, p50, rec1))
-            print(f"# native single-query p50: {p50:.3f} ms "
-                  f"recall@10={rec1:.4f} (ef={ef1})", file=sys.stderr)
-        # headline = fastest rung at the reference's quality band
-        ef1, p50, rec1 = min(
-            (r for r in rungs if r[2] >= 0.95),
-            key=lambda r: r[1], default=max(rungs, key=lambda r: r[2]))
+            rungs.append((name, p50, mean, rec1))
+            print(f"# native single-query [{name}]: p50 {p50:.3f} ms "
+                  f"mean {mean:.3f} ms recall@10={rec1:.4f}",
+                  file=sys.stderr)
+        # ADAPTIVE hybrid engine end-to-end — the exact counterpart of
+        # the reference's flagship row (its 2.51 ms is the adaptive
+        # engine's AVG at recall .98, bandit overhead included)
+        from hnsw_tpu import AdaptiveHybridIndex, HybridConfig
+        eng = AdaptiveHybridIndex(
+            hybrid_config=HybridConfig(exact_threshold=500))
+        eng.batch_add(list(range(n)), data)
+        for i in range(64):   # steady state, like the reference table
+            eng.search(q1k[i % 1024], k)
+        lats, nhits = [], 0
+        for qi in range(nq1):
+            t1 = time.perf_counter()
+            res = eng.search(q1k[qi], k)
+            lats.append(time.perf_counter() - t1)
+            nhits += len({kk for kk, _ in res} & set(map(int, gt[qi])))
+        a_p50 = sorted(lats)[nq1 // 2] * 1e3
+        a_mean = sum(lats) / nq1 * 1e3
+        a_rec = nhits / (nq1 * k)
+        print(f"# adaptive hybrid engine: p50 {a_p50:.3f} ms mean "
+              f"{a_mean:.3f} ms recall@10={a_rec:.4f}", file=sys.stderr)
+        rungs.append(("adaptive", a_p50, a_mean, a_rec))
+        # headline = fastest rung AT THE REFERENCE'S QUALITY POINT
+        # (recall >= 0.98, matching the 2.51 ms row — ADVICE r3); the
+        # ratio is mean-to-mean (the reference number is an average)
+        # and is omitted when no rung reaches the band.
+        band = [r for r in rungs if r[3] >= 0.98]
         lat_fields = {
-            "single_query_p50_ms": round(p50, 3),
-            "single_query_recall": round(rec1, 4),
-            "single_query_ef": ef1,
-            "latency_vs_baseline": round(2.51 / p50, 1),
+            "adaptive_engine_mean_ms": round(a_mean, 3),
+            "adaptive_engine_p50_ms": round(a_p50, 3),
+            "adaptive_engine_recall": round(a_rec, 4),
         }
+        if band:
+            name, p50, mean, rec1 = min(band, key=lambda r: r[2])
+            lat_fields.update({
+                "single_query_p50_ms": round(p50, 3),
+                "single_query_mean_ms": round(mean, 3),
+                "single_query_recall": round(rec1, 4),
+                "single_query_tier": name,
+                "latency_vs_baseline": round(BASELINE_MS / mean, 1),
+            })
 
-    baseline_qps = 398.4  # reference adaptive hybrid, same config
+    baseline_qps = BASELINE_QPS  # reference adaptive hybrid, same config
     best95 = max((p for p in hnsw_points if p[2] >= 0.95),
                  key=lambda p: p[1],
                  default=max(hnsw_points, key=lambda p: p[2]))

@@ -594,6 +594,23 @@ class Graph:
                             store_normalized=self.metric == "cosine")
         return np.asarray(d[:nq]), np.asarray(i[:nq], np.int64)
 
+    def _pivot_slots_host(self) -> np.ndarray:
+        """Host-side pivot subset for the native engine's seeded entry:
+        ~4*sqrt(N) stride-sampled live slots (the C++ engine scans them
+        with SIMD dots, so the budget is ~sqrt(N) — the MXU variant can
+        afford N/4). Cached on a (capacity, mutations) stamp."""
+        stamp = (self.slots.capacity_used, self._mut_since_fit)
+        c = getattr(self, "_pivot_host_cache", None)
+        if c is not None and c[0] == stamp:
+            return c[1]
+        used = stamp[0]
+        alive = np.flatnonzero(self.store.alive[:used])
+        n_piv = int(min(1024, max(16, 4.0 * np.sqrt(max(len(alive), 1)))))
+        stride = max(1, len(alive) // n_piv)
+        sel = np.ascontiguousarray(alive[::stride][:n_piv], np.int64)
+        self._pivot_host_cache = (stamp, sel)
+        return sel
+
     def _native_search(self, queries: np.ndarray, k: int, ef: int
                        ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Serve a small batch from the native C++ engine
@@ -603,11 +620,18 @@ class Graph:
         hybrid/README.md:650; parquet single search 128 us,
         parquet/README.md:69). Same HNSW semantics as the device path
         (the C++ engine is the build-parity oracle); tombstones are
-        skipped via levels<0 and pruned edges. Returns None when the
-        library or metric is unsupported — callers fall through to the
-        device path."""
+        skipped via levels<0 and pruned edges. entry_mode="pivots"
+        carries over: the engine seeds the layer-0 beam from a SIMD
+        pivot scan instead of the upper-layer descent. Returns None
+        when the library or metric is unsupported — callers fall
+        through to the device path."""
         from hnsw_tpu import native
-        res = native.search_batch(self.host, queries, k, ef)
+        pivots = None
+        if self._entry_mode == "pivots":
+            pivots = self._pivot_slots_host()
+        res = native.search_batch(self.host, queries, k, ef,
+                                  pivots=pivots,
+                                  n_seed=min(self.seed_width, 8))
         if res is None:
             return None
         d, i = res

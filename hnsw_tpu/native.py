@@ -96,7 +96,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hnsw_search_batch.restype = ctypes.c_int
         lib.hnsw_search_batch.argtypes = [
             f32p, f32p, i32p, i32p, i64, i32, i32, i32, i32, i32, i32,
-            f32p, i64, i32, i32, i32, i32, i64p, f32p]
+            f32p, i64, i32, i32, i32, i32, i64p, i64, i32, i64p, f32p]
+        lib.hnsw_exact_scan.restype = ctypes.c_int
+        lib.hnsw_exact_scan.argtypes = [
+            ctypes.c_void_p, i32, f32p, f32p, i32p, ctypes.c_void_p,
+            i64, i32, i32, f32p, f32p, f32p, i64, i32, i32, i64p, f32p]
         _lib = lib
         return _lib
 
@@ -186,8 +190,14 @@ def delete_batch(host, slots: np.ndarray) -> bool:
     return True
 
 
-def search_batch(host, queries: np.ndarray, k: int, ef: int):
-    """Native CPU batch search -> (dists [Q,k], slot ids [Q,k])."""
+def search_batch(host, queries: np.ndarray, k: int, ef: int,
+                 pivots: Optional[np.ndarray] = None, n_seed: int = 1):
+    """Native CPU batch search -> (dists [Q,k], slot ids [Q,k]).
+
+    ``pivots`` (int64 slot ids) switches on pivot-seeded entry: the
+    engine scores the pivots with SIMD dots and seeds the layer-0 beam
+    with the ``n_seed`` best basins, skipping the upper-layer descent
+    (Graph.entry_mode="pivots" ported down to the host engine)."""
     lib = get_lib()
     if lib is None or host.metric not in _METRIC_CODE:
         return None
@@ -197,12 +207,74 @@ def search_batch(host, queries: np.ndarray, k: int, ef: int):
     n_q = queries.shape[0]
     out_ids = np.empty((n_q, k), np.int64)
     out_d = np.empty((n_q, k), np.float32)
+    if pivots is None:
+        pivots = np.empty((0,), np.int64)
+    pivots = np.ascontiguousarray(pivots, np.int64)
     lib.hnsw_search_batch(
         *common[:10],
         ctypes.c_int32(_METRIC_CODE[host.metric]),
         _ptr(queries, ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(n_q), ctypes.c_int32(k), ctypes.c_int32(ef),
         ctypes.c_int32(host.entry), ctypes.c_int32(host.top),
+        _ptr(pivots, ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(pivots)), ctypes.c_int32(n_seed),
         _ptr(out_ids, ctypes.POINTER(ctypes.c_int64)),
         _ptr(out_d, ctypes.POINTER(ctypes.c_float)))
+    return out_d, out_ids
+
+
+_SCAN_DTYPE = {np.dtype(np.float32): 0, np.dtype(np.float16): 1,
+               np.dtype(np.int8): 2}
+
+
+def exact_scan(rows: np.ndarray, queries: np.ndarray, k: int,
+               metric: str, kk: Optional[int] = None,
+               sq_norms: Optional[np.ndarray] = None,
+               scales: Optional[np.ndarray] = None,
+               row_sums: Optional[np.ndarray] = None,
+               alive: Optional[np.ndarray] = None,
+               rr_rows: Optional[np.ndarray] = None,
+               rr_sq: Optional[np.ndarray] = None):
+    """Fused exact scan + select (+ optional f32 rerank) over a
+    contiguous row store — the host latency tier's hot loop
+    (hnsw_native.cpp hnsw_exact_scan). rows: [n, D] float32, float16,
+    or int8 (then ``scales`` per-row f32 scales and ``row_sums``
+    per-row int32 byte sums are required), C-contiguous; for cosine
+    they must be UNIT rows with sq_norms=None. rr_rows/rr_sq:
+    full-precision store for the exact rerank of the kk-candidate pool
+    (required when rows are reduced precision). Returns
+    (dists [Q,k] f32, ids [Q,k] i64) or None if unavailable."""
+    lib = get_lib()
+    if lib is None or metric not in _METRIC_CODE:
+        return None
+    dt = _SCAN_DTYPE.get(rows.dtype)
+    if dt is None or not rows.flags["C_CONTIGUOUS"]:
+        return None
+    queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+    n, D = rows.shape
+    n_q = queries.shape[0]
+    kk = k if kk is None else max(k, min(int(kk), max(n, k)))
+    out_ids = np.empty((n_q, k), np.int64)
+    out_d = np.empty((n_q, k), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    null_f = ctypes.cast(None, f32p)
+    rc = lib.hnsw_exact_scan(
+        rows.ctypes.data_as(ctypes.c_void_p), ctypes.c_int32(dt),
+        _ptr(sq_norms, f32p) if sq_norms is not None else null_f,
+        _ptr(scales, f32p) if scales is not None else null_f,
+        (_ptr(row_sums, i32p) if row_sums is not None
+         else ctypes.cast(None, i32p)),
+        (alive.ctypes.data_as(ctypes.c_void_p)
+         if alive is not None else None),
+        ctypes.c_int64(n), ctypes.c_int32(D),
+        ctypes.c_int32(_METRIC_CODE[metric]),
+        _ptr(rr_rows, f32p) if rr_rows is not None else null_f,
+        _ptr(rr_sq, f32p) if rr_sq is not None else null_f,
+        _ptr(queries, f32p),
+        ctypes.c_int64(n_q), ctypes.c_int32(k), ctypes.c_int32(kk),
+        _ptr(out_ids, ctypes.POINTER(ctypes.c_int64)),
+        _ptr(out_d, f32p))
+    if rc != 0:
+        return None
     return out_d, out_ids
