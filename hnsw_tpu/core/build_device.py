@@ -307,6 +307,18 @@ def _compact_upper_tables(host: host_build.HostGraph, lv_all: np.ndarray,
     return ups, u_counts, nbU_tabs, umap_dev
 
 
+class BuildDeadlineExceeded(RuntimeError):
+    """A deadline-bounded build stopped early AFTER saving a resumable
+    checkpoint. The graph is partially built (pending nodes have
+    level < 0); finish it with ``Graph.resume_build(checkpoint_path)``.
+
+    Exists for the single-client TPU relay this framework runs behind
+    (CLAUDE.md hazards): a multi-hour build must vacate the device by a
+    hard wall-clock deadline — killing the process instead poisons the
+    next process's first transfer for up to ~22 minutes.
+    """
+
+
 def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                        wave: int = 2048,
                        intra_k: Optional[int] = None,
@@ -314,7 +326,8 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                        block_m: Optional[int] = None,
                        descent_dtype: str = "float32",
                        on_checkpoint=None,
-                       checkpoint_every: int = 0) -> None:
+                       checkpoint_every: int = 0,
+                       abort_deadline: Optional[float] = None) -> None:
     """Device-resident wave insertion; syncs host arrays once at the end.
 
     ``quant_descent`` gives the construction descent the int8
@@ -333,6 +346,12 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
     instead of hours — the relay tunnel this runs behind has wedged
     mid-build for 2+ hours with no recovery (CLAUDE.md hazards), so
     long builds MUST be restartable (Graph.resume_build).
+
+    ``abort_deadline`` (absolute ``time.time()`` seconds) stops the
+    build gracefully at the first wave boundary past the deadline:
+    sync host arrays, write a checkpoint (if wired), then raise
+    BuildDeadlineExceeded. The process exits cleanly, so the next TPU
+    process is not poisoned (a kill mid-transfer wedges the relay).
 
     ``descent_dtype="float16"`` uploads the HBM vector table as fp16 —
     half the table bytes AND half the row-gather bytes of the descent
@@ -582,14 +601,24 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             print(f"# build wave done: {w0}/{n_new} "
                   f"(+{W} @ {_time.perf_counter() - _t_start:.0f}s)",
                   file=_sys.stderr, flush=True)
-        if (on_checkpoint is not None and checkpoint_every > 0
+        _deadline_hit = (abort_deadline is not None and w0 < n_new
+                         and _time.time() >= abort_deadline)
+        if _deadline_hit or (
+                on_checkpoint is not None and checkpoint_every > 0
                 and w0 < n_new and _waves_done % checkpoint_every == 0):
             # mid-build host sync: levels mark exactly the inserted
             # prefix (-1 = pending), neighbor pulls ride chunked_get;
             # the device tables stay the build's source of truth
             host.levels[:ncap] = np.asarray(levels_dev[:ncap])
             _sparse_sync(host, nb0_dev, nbU_tabs, ups, u_counts, ncap)
-            on_checkpoint(int(w0))
+            if on_checkpoint is not None:
+                on_checkpoint(int(w0))
+        if _deadline_hit:
+            raise BuildDeadlineExceeded(
+                f"build deadline reached after {w0}/{n_new} inserts; "
+                f"host state synced"
+                + (" and checkpoint saved" if on_checkpoint else "")
+                + " — finish with Graph.resume_build")
 
     # ---- single D2H sync ----------------------------------------------------
     lv = np.asarray(levels_dev[:ncap])

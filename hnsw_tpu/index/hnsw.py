@@ -296,7 +296,8 @@ class Graph:
               block_m: Optional[int] = None,
               descent_dtype: str = "float32",
               checkpoint_path: Optional[str] = None,
-              checkpoint_every: int = 128) -> None:
+              checkpoint_every: int = 128,
+              abort_deadline: Optional[float] = None) -> None:
         """Bulk construction. Existing keys are replaced; duplicate keys
         within the batch are an error.
 
@@ -324,6 +325,12 @@ class Graph:
         ``Graph.resume_build(checkpoint_path, ...)``. Checkpoint cost
         at 8M, every 128 waves: ~1 GB neighbor D2H + one npz write —
         a few percent of wall-clock.
+
+        ``abort_deadline`` (absolute time.time()) bounds a device build
+        by wall clock: past it, the build checkpoints and raises
+        core.build_device.BuildDeadlineExceeded instead of running on —
+        the graceful way to vacate a single-client device by a hard
+        deadline (killing the process poisons the relay's next run).
         """
         # canonical spelling (any sibling knob's alias accepted); an
         # unknown value must fail HERE, not fall through to a silent
@@ -363,7 +370,8 @@ class Graph:
                                block_m=block_m,
                                descent_dtype=descent_dtype,
                                on_checkpoint=on_ckpt,
-                               checkpoint_every=checkpoint_every)
+                               checkpoint_every=checkpoint_every,
+                               abort_deadline=abort_deadline)
         if checkpoint_path is not None:
             # final, complete — written for the HOST path too (a
             # minutes-scale native build still honors the contract that
@@ -380,7 +388,8 @@ class Graph:
                      quant_descent: bool = False,
                      block_m: Optional[int] = None,
                      descent_dtype: str = "float32",
-                     checkpoint_every: int = 128) -> "Graph":
+                     checkpoint_every: int = 128,
+                     abort_deadline: Optional[float] = None) -> "Graph":
         """Resume a crashed/killed ``build(checkpoint_path=...)``.
 
         The checkpoint stores every assigned key + vector; nodes the
@@ -407,7 +416,8 @@ class Graph:
                                block_m=block_m,
                                descent_dtype=descent_dtype,
                                on_checkpoint=on_ckpt,
-                               checkpoint_every=checkpoint_every)
+                               checkpoint_every=checkpoint_every,
+                               abort_deadline=abort_deadline)
             save_graph(g, checkpoint_path)
             g._block_fit_cache = None
             g._mut_since_fit = 0

@@ -298,3 +298,36 @@ def test_checkpointed_build_resumes_after_crash(tmp_path, monkeypatch):
     # a COMPLETED checkpoint resumes to a no-op load
     g3 = Graph.resume_build(ckpt)
     assert g3.host.count == n
+
+
+def test_build_abort_deadline_checkpoints_and_resumes(tmp_path):
+    """abort_deadline vacates the device gracefully at a wave boundary:
+    the build checkpoints, raises BuildDeadlineExceeded, and
+    resume_build finishes the remaining waves to a complete graph
+    (the single-client relay rule: a long build must EXIT before the
+    round's bench, never be killed mid-transfer)."""
+    from hnsw_tpu.core.build_device import BuildDeadlineExceeded
+
+    n, d = 1500, 32
+    vecs = make_vectors(n, d, seed=7)
+    keys = list(range(n))
+    ckpt = str(tmp_path / "deadline.npz")
+
+    g = Graph(m=8, metric="cosine", seed=0)
+    with pytest.raises(BuildDeadlineExceeded, match="resume_build"):
+        g.build(keys, vecs, method="device", wave=256,
+                checkpoint_path=ckpt, abort_deadline=0.0)
+    # partial: at least the first wave landed, but not the whole set
+    inserted = int((g.host.levels >= 0).sum())
+    assert 256 <= inserted < n, inserted
+
+    g2 = Graph.resume_build(ckpt, wave=256)
+    assert g2.host.count == n
+    assert all(g2.host.levels[g2.slots.key_to_slot[kk]] >= 0
+               for kk in keys)
+    q = make_vectors(32, d, seed=99)
+    _, gt = np_exact_topk(q, vecs, 10, "cosine")
+    kk, _ = g2.batch_search(q, 10, ef=192)
+    rec = np.mean([len(set(kk[r]) & set(map(int, gt[r]))) / 10
+                   for r in range(32)])
+    assert rec >= 0.85, rec
