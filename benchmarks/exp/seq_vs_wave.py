@@ -1,0 +1,117 @@
+"""Sequential-vs-wave construction parity at scale (VERDICT r3 item 2).
+
+The claim under test: the graph tier's recall-vs-N curve on RANDOM
+data is INTRINSIC to HNSW on unstructured vectors, not an artifact of
+the wave (device) builder. Round-2 evidence stopped at 30k (native
+sequential build == wave build quality, CLAUDE.md). This script anchors
+the claim at 100k+ by building the SAME data twice:
+
+  seq  — native C++ reference-faithful sequential insertion
+         (one node at a time, greedy descent from the entry point:
+         the construction algorithm of /root/reference/graph.go:514-599)
+  wave — the device wave builder (core/build_device.py)
+
+and serving both through the IDENTICAL device search stack at
+ef in {192, 384, 768}, scored against the exact MXU oracle.
+Parity within ±0.02 at every rung = the curve is intrinsic.
+
+Usage: seq_vs_wave.py [N[,N2,...]] [wave]   (default 100k, wave 8192)
+Appends rows to benchmarks/results_tpu_r4.jsonl and prints a
+`seq_vs_wave` summary row for BASELINE.json.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "results_tpu_r4.jsonl")
+
+
+def emit(rec):
+    rec["ts"] = time.time()
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    ns = ([int(x) for x in sys.argv[1].split(",")]
+          if len(sys.argv) > 1 else [100_000])
+    wave = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+
+    if os.environ.get("HNSW_TPU_FORCE_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from hnsw_tpu.utils.warmup import warmup_transfers
+    warmup_transfers()
+    for n in ns:
+        run_one(n, wave)
+
+
+def run_one(n, wave):
+    d, k, B = 128, 10, 1024
+    import jax
+    import jax.numpy as jnp
+    from hnsw_tpu import Graph
+    from hnsw_tpu.ops.topk import exact_topk
+
+    # RANDOM data (the regime the intrinsic-curve claim is about),
+    # generated on device — the 1-core host draws ~170k gaussians/s
+    # under contention (CLAUDE.md): 12.8M host-side would cost minutes.
+    key = jax.random.PRNGKey(0)
+    kb, kq = jax.random.split(key)
+    data = np.asarray(jax.random.normal(kb, (n, d), jnp.float32))
+    queries = np.asarray(jax.random.normal(kq, (B, d), jnp.float32))
+    keys = list(range(n))
+
+    graphs = {}
+    t0 = time.perf_counter()
+    g_seq = Graph(m=16, ef_search=20, metric="cosine", seed=0)
+    g_seq.build(keys, data, method="host")
+    seq_s = time.perf_counter() - t0
+    emit({"op": "seq_build", "n": n, "seconds": round(seq_s, 1)})
+    graphs["seq"] = g_seq
+
+    t0 = time.perf_counter()
+    g_wav = Graph(m=16, ef_search=20, metric="cosine", seed=0)
+    g_wav.build(keys, data, method="device", wave=wave)
+    emit({"op": "wave_build", "n": n, "wave": wave,
+          "seconds": round(time.perf_counter() - t0, 1)})
+    graphs["wave"] = g_wav
+
+    # ground truth from the exact MXU oracle on the wave graph's store
+    # (both graphs hold identical vectors)
+    dev = g_wav.device_graph()
+    q = jnp.asarray(queries)
+    _, gt = exact_topk(q, dev.vectors, dev.sq_norms, dev.alive,
+                       k=k, metric="cosine")
+    gt = np.asarray(gt)
+    slot_of = {kk: i for i, kk in enumerate(keys)}
+
+    summary = {"op": "seq_vs_wave", "n": n, "rungs": {}}
+    ok = True
+    for ef in (192, 384, 768):
+        row = {}
+        for name, g in graphs.items():
+            g.native_serve_max_batch = 0       # identical device path
+            kk, _ = g.batch_search(queries, k, ef=ef)
+            rec = sum(len({slot_of[x] for x in kk[r]} &
+                          set(map(int, gt[r])))
+                      for r in range(B)) / (B * k)
+            row[name] = round(rec, 4)
+            emit({"op": f"hnsw_{name}", "n": n, "ef": ef,
+                  "recall": round(rec, 4)})
+        row["delta"] = round(row["wave"] - row["seq"], 4)
+        ok = ok and abs(row["delta"]) <= 0.02
+        summary["rungs"][str(ef)] = row
+    summary["parity_within_0.02"] = ok
+    emit(summary)
+
+
+if __name__ == "__main__":
+    main()

@@ -287,7 +287,12 @@ class AdaptiveHybridIndex:
         return a or b or c
 
     def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
-        return [self.delete(k) for k in keys]
+        """One vectorized graph in-edge sweep for the whole batch
+        (adaptive_hybrid.go delete fan-out, batched — VERDICT r3)."""
+        a = self.exact.batch_delete(keys)
+        b = self.graph.batch_delete(keys)
+        c = self.lsh.batch_delete(keys)
+        return [x or y or z for x, y, z in zip(a, b, c)]
 
     # -- search (adaptive_hybrid.go:132-282) --------------------------------------
     def _exact_call(self, queries: np.ndarray, k: int, fast: bool):

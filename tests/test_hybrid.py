@@ -518,3 +518,61 @@ def test_strategy_stats_running_sums_match_window():
     assert abs(st.success_rate()
                - sum(1 for m in st.window if m.success) / len(st.window)
                ) < 1e-12
+
+
+def test_batch_delete_facades_single_sweep(monkeypatch, tmp_path):
+    """VERDICT r3 item 4: the Hybrid/Adaptive/DiskGraph batch_delete
+    facades must route through Graph.batch_delete's ONE vectorized
+    in-edge sweep — never a per-key delete() loop (O(B*N*M) where
+    O(N*M) exists) — while preserving per-key success flags."""
+    import hnsw_tpu.index.hnsw as hnsw_mod
+    from hnsw_tpu.io.disk_graph import DiskGraph
+
+    calls = {"batch": 0, "single": 0}
+    real_batch = hnsw_mod.Graph.batch_delete
+    real_single = hnsw_mod.Graph.delete
+
+    def spy_batch(self, keys, refine=False):
+        calls["batch"] += 1
+        return real_batch(self, keys, refine=refine)
+
+    def spy_single(self, key):
+        calls["single"] += 1
+        return real_single(self, key)
+
+    monkeypatch.setattr(hnsw_mod.Graph, "batch_delete", spy_batch)
+    monkeypatch.setattr(hnsw_mod.Graph, "delete", spy_single)
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 16
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    doomed = list(range(0, n, 3)) + ["never-added"]
+
+    # HybridIndex (exact tier populated + graph tier via migration)
+    h = HybridIndex(config=HybridConfig(exact_threshold=50))
+    h.batch_add(list(range(n)), data)
+    calls.update(batch=0, single=0)
+    flags = h.batch_delete(doomed)
+    assert calls["batch"] == 1 and calls["single"] == 0, calls
+    assert flags[:-1] == [True] * (len(doomed) - 1) and flags[-1] is False
+    keys_out, _ = h.batch_search(data[:8], 5)
+    gone = set(doomed[:-1])
+    assert all(kk not in gone for row in keys_out for kk in row)
+    assert h.stats.total_vectors == n - (len(doomed) - 1)
+
+    # AdaptiveHybridIndex
+    a = AdaptiveHybridIndex()
+    a.batch_add(list(range(n)), data)
+    calls.update(batch=0, single=0)
+    flags = a.batch_delete(doomed)
+    assert calls["batch"] == 1 and calls["single"] == 0, calls
+    assert flags[:-1] == [True] * (len(doomed) - 1) and not flags[-1]
+
+    # DiskGraph (WAL records per successful key, one sweep)
+    dg = DiskGraph(str(tmp_path / "dg"))
+    dg.batch_add(list(range(n)), data)
+    calls.update(batch=0, single=0)
+    flags = dg.batch_delete(doomed)
+    assert calls["batch"] == 1 and calls["single"] == 0, calls
+    assert flags[:-1] == [True] * (len(doomed) - 1) and not flags[-1]
+    assert len(dg) == n - (len(doomed) - 1)
