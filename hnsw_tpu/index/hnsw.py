@@ -33,6 +33,36 @@ from hnsw_tpu.core.state import DeviceGraph, bucket_pow2, from_host
 from hnsw_tpu.ops.distance import (INF_DIST, np_gram_epilogue,
                                    np_pairwise_dist)
 from hnsw_tpu.utils.keystore import HostVectorStore, SlotMap
+from hnsw_tpu.utils.rwlock import RWLock
+
+
+def _writes(fn):
+    """Mutation: exclusive hold on the graph's RWLock (graph.go:328's
+    ``g.mu.Lock()``). Re-entrant — build() deletes replaced keys inside
+    its own write hold."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        with self._rw.write():
+            return fn(self, *a, **kw)
+    return wrapper
+
+
+def _reads(fn):
+    """Query/read path: shared hold (graph.go:328's ``g.mu.RLock()``) —
+    any number of concurrent searches, all excluded while a mutation
+    runs. Lazily-built serving caches (device graph, native engine,
+    pivots) are written under the read hold: assignment is GIL-atomic
+    and rebuilding twice is idempotent, so readers never block
+    readers."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        with self._rw.read():
+            return fn(self, *a, **kw)
+    return wrapper
 
 
 def _bucket(n: int, minimum: int = 8) -> int:
@@ -98,6 +128,10 @@ class Graph:
         self.native_serve_max_batch = 32
         self._ef_calib: dict = {}     # (k, target) -> {ef, recall, n}
         self._ef_default: Optional[int] = None   # calibrate_ef override
+        #: concurrency contract (graph.go:328 sync.RWMutex): mutations
+        #: take the write side, searches the read side — concurrent
+        #: searches run freely, a mutation excludes them.
+        self._rw = RWLock()
 
     @property
     def ef_search(self) -> int:
@@ -257,6 +291,7 @@ class Graph:
         return self.store.dim or 0
 
     # -- mutation ---------------------------------------------------------------
+    @_writes
     def add(self, key: Hashable, vector) -> None:
         """Insert one node; replaces an existing node with the same key
         (graph.go:437's duplicate handling, using BatchAdd's correct
@@ -270,6 +305,7 @@ class Graph:
         self._mut_since_fit += 1
         self._dirty = True
 
+    @_writes
     def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
         """Bulk insert (graph.go:942 BatchAdd semantics — sequential,
         duplicate keys replaced). For large batches prefer bulk_build."""
@@ -290,6 +326,7 @@ class Graph:
         self._mut_since_fit += len(slot_list)
         self._dirty = True
 
+    @_writes
     def build(self, keys: Sequence[Hashable], vectors,
               wave: int = 1024, method: str = "auto",
               quant_descent: bool = False,
@@ -424,6 +461,7 @@ class Graph:
             g._dirty = True
         return g
 
+    @_writes
     def refine(self, wave: int = 2048, slots=None,
                local: bool = False) -> None:
         """Second-pass edge refinement against the final graph —
@@ -441,6 +479,7 @@ class Graph:
         refine_device(self.host, wave=wave, slots=slots, local=local)
         self._dirty = True
 
+    @_writes
     def delete(self, key: Hashable) -> bool:
         """Remove a node and repair its neighborhood
         (graph.go:843 Delete + isolate/replenish)."""
@@ -454,6 +493,7 @@ class Graph:
         self._dirty = True
         return True
 
+    @_writes
     def batch_delete(self, keys: Sequence[Hashable],
                      refine: bool = False) -> List[bool]:
         """graph.go:869 BatchDelete: per-key success flags; one
@@ -491,12 +531,14 @@ class Graph:
                 self.refine(slots=affected, local=True)
         return oks
 
+    @_reads
     def lookup(self, key: Hashable) -> Optional[np.ndarray]:
         """O(1) vector fetch (graph.go:898 Lookup)."""
         s = self.slots.slot_of(key)
         return None if s is None else np.array(self.store.get(s))
 
     # -- device sync --------------------------------------------------------------
+    @_reads
     def device_graph(self) -> DeviceGraph:
         if self._dirty or self._dev is None:
             self._pivot_cache = None
@@ -554,6 +596,7 @@ class Graph:
         self._dirty = False
 
     # -- search ------------------------------------------------------------------
+    @_reads
     def batch_search_slots(self, queries: np.ndarray, k: int,
                            ef: Optional[int] = None
                            ) -> Tuple[np.ndarray, np.ndarray]:
@@ -656,6 +699,7 @@ class Graph:
         from hnsw_tpu.utils.rerank import host_rerank
         return host_rerank(self.store, self.metric, queries, cand, k)
 
+    @_reads
     def batch_search(self, queries, k: int, ef: Optional[int] = None
                      ) -> Tuple[List[List[Any]], np.ndarray]:
         """graph.go:1047 BatchSearch: (keys [Q][k], dists [Q,k])."""
@@ -694,6 +738,7 @@ class Graph:
         part = np.argpartition(d_all, kk - 1, axis=1)[:, :kk]
         return np.take_along_axis(i_all, part, axis=1)
 
+    @_reads
     def calibrate_ef(self, target_recall: float, k: int = 10,
                      sample: int = 64, seed: int = 0,
                      ladder: Sequence[int] = (20, 40, 64, 96, 128, 192,
@@ -774,6 +819,7 @@ class Graph:
         self.ef_search = best_ef
         return best_ef, best_rec
 
+    @_reads
     def search(self, query, k: int, ef: Optional[int] = None
                ) -> List[Tuple[Any, float]]:
         """graph.go:534 Search: [(key, dist)] best-first."""
@@ -811,11 +857,13 @@ class Graph:
         return [(self.slots.key_of(int(slots[o])), float(score[o]))
                 for o in order]
 
+    @_reads
     def search_with_negative(self, query, negative, k: int,
                              neg_weight: float = 0.5
                              ) -> List[Tuple[Any, float]]:
         return self.search_with_negatives(query, [negative], k, neg_weight)
 
+    @_reads
     def search_with_negatives(self, query, negatives, k: int,
                               neg_weight: float = 0.5
                               ) -> List[Tuple[Any, float]]:
@@ -839,6 +887,7 @@ class Graph:
         return self._rescore_negative(i[0], d[0], query, negatives, k,
                                       neg_weight)
 
+    @_reads
     def batch_search_with_negatives(self, queries, negatives_per_query,
                                     k: int, neg_weight: float = 0.5
                                     ) -> List[List[Tuple[Any, float]]]:
@@ -863,6 +912,7 @@ class Graph:
                                                   negs, k, neg_weight))
         return out
 
+    @_reads
     def parallel_search(self, query, k: int, num_workers: int = 0,
                         ef: Optional[int] = None
                         ) -> List[Tuple[Any, float]]:
