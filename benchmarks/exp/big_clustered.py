@@ -27,7 +27,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "results_tpu_r3.jsonl")
+OUT = os.path.join(os.path.dirname(__file__), "..", "results_tpu_r4.jsonl")
 
 
 def emit(rec):
@@ -166,7 +166,12 @@ def main():
     # orthogonal to how the graph was built, so `serve fp16` can reuse
     # an f32-descent build and vice versa (the build row records the
     # descent dtype).
-    cache = f"/tmp/gbig_clustered_{n}.npz"
+    # HNSW_TPU_CACHE_DIR: /tmp is wiped between rounds — a multi-round
+    # build (16M) must checkpoint inside the repo (gitignored .ckpt/)
+    # so Graph.resume_build can pick it up next round.
+    cdir = os.environ.get("HNSW_TPU_CACHE_DIR", "/tmp")
+    os.makedirs(cdir, exist_ok=True)
+    cache = os.path.join(cdir, f"gbig_clustered_{n}.npz")
 
     if os.environ.get("HNSW_TPU_FORCE_CPU"):
         import jax
@@ -184,7 +189,14 @@ def main():
     data, queries = gen(n, d, B, base_too=what != "serve")
     print(f"# data gen: {time.perf_counter() - t0:.0f}s", flush=True)
 
+    # HNSW_TPU_ABORT_AT (absolute epoch seconds): vacate the TPU by a
+    # hard deadline — the build checkpoints and raises, and we emit a
+    # partial-build row instead of riding past the round-end margin.
+    abort_at = (float(os.environ["HNSW_TPU_ABORT_AT"])
+                if "HNSW_TPU_ABORT_AT" in os.environ else None)
+
     if what in ("build", "all"):
+        from hnsw_tpu.core.build_device import BuildDeadlineExceeded
         g = Graph(m=16, ef_search=20, metric="cosine", seed=0)
         t0 = time.perf_counter()
         # restartable: a wedged relay or a kill loses <= checkpoint_every
@@ -193,11 +205,20 @@ def main():
         # final checkpoint IS the complete serving cache). A full
         # save_graph is ~115 MB/s of npz, so stretch the interval at
         # 16M (each snapshot ~320 s there vs ~160 s at 8M).
-        g.build(list(range(n)), data, wave=wave, method="device",
-                quant_descent=False,
-                descent_dtype="float16" if fp16 else "float32",
-                checkpoint_path=cache,
-                checkpoint_every=256 if n > 10_000_000 else 128)
+        try:
+            g.build(list(range(n)), data, wave=wave, method="device",
+                    quant_descent=False,
+                    descent_dtype="float16" if fp16 else "float32",
+                    checkpoint_path=cache,
+                    checkpoint_every=256 if n > 10_000_000 else 128,
+                    abort_deadline=abort_at)
+        except BuildDeadlineExceeded as e:
+            emit({"op": "device_build_partial", "n": n, "wave": wave,
+                  "kind": "clustered",
+                  "descent_dtype": "float16" if fp16 else "float32",
+                  "seconds": round(time.perf_counter() - t0, 1),
+                  "checkpoint": cache, "note": str(e)})
+            return
         build_s = time.perf_counter() - t0
         emit({"op": "device_build", "n": n, "wave": wave,
               "kind": "clustered", "quant_descent": False,

@@ -138,6 +138,94 @@ def sharded_quantized_candidates(queries: jnp.ndarray,
     return jax.jit(f)(queries, table, scales, v_sq, valid)
 
 
+def sharded_ivf_candidates(queries: jnp.ndarray, cents: jnp.ndarray,
+                           blocks: jnp.ndarray, block_sq: jnp.ndarray,
+                           block_valid: jnp.ndarray,
+                           block_part: jnp.ndarray, *, nprobe: int,
+                           k: int, metric: str = "cosine", mesh: Mesh,
+                           axis: str = "data"
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Block-sharded IVF scan (hybrid/partitioner.go routing, scaled
+    over a mesh): the [NB, bs, D] partition-block table is sharded on
+    its block axis, centroids are replicated, and every device runs the
+    probe routing + a probe-MASKED scan of its local blocks, nominates
+    k local candidates, and a global top-k merges the all-gathered
+    per-shard winners over ICI.
+
+    block_part [NB] int32 — owning partition of each block (-1 for pad
+    blocks). NB must divide evenly by the mesh size (pad with empty
+    blocks).  Returned ids index the FLATTENED global [NB * bs] block
+    grid (-1 = miss); callers decode to store slots via
+    ``block_slot.reshape(-1)[ids]`` (index/ivf.IVFIndex layout).
+    """
+    metric = canonical_metric(metric)
+    nb_local = blocks.shape[0] // mesh.shape[axis]
+    bs = blocks.shape[1]
+    kk = min(k, nb_local * bs)
+
+    def local(q, c, b, bsq, bv, bp):
+        # --- probe routing (replicated small matmul) --------------------
+        gram_c = jnp.einsum("qd,pd->qp", q, c,
+                            preferred_element_type=jnp.float32)
+        if metric == "cosine":
+            c_sq = jnp.sum(c * c, axis=-1)
+            q_sq = jnp.sum(q * q, axis=-1)
+            d_c = 1.0 - gram_c * jax.lax.rsqrt(
+                q_sq[:, None] * c_sq[None, :] + 1e-30)
+        elif metric == "dot":
+            d_c = -gram_c
+        else:
+            c_sq = jnp.sum(c * c, axis=-1)
+            q_sq = jnp.sum(q * q, axis=-1)
+            d_c = q_sq[:, None] + c_sq[None, :] - 2.0 * gram_c
+        _, probed = topk_smallest(d_c, min(nprobe, c.shape[0]))  # [Q, np]
+
+        # --- probe-masked local block scan ------------------------------
+        # HIGHEST: the probed scan IS the final ranking (index/ivf.py
+        # _scan_blocks' clustered-near-ties finding applies unchanged)
+        gram = jnp.einsum("qd,ncd->qnc", q, b,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+        q_sq = jnp.sum(q * q, axis=-1)
+        if metric == "cosine":
+            d = 1.0 - gram * jax.lax.rsqrt(
+                q_sq[:, None, None] * bsq[None, :, :] + 1e-30)
+        elif metric == "dot":
+            d = -gram
+        else:
+            d = jnp.maximum(
+                q_sq[:, None, None] + bsq[None, :, :] - 2.0 * gram, 0.0)
+            if metric == "l2":
+                d = jnp.sqrt(d)
+        hit = (bp[None, :, None] == probed[:, None, :]).any(-1)  # [Q, NBl]
+        d = jnp.where(bv[None, :, :], d, INF_DIST)
+        d = jnp.where(hit[:, :, None], d, INF_DIST)
+        dk, ik = topk_smallest(d.reshape(q.shape[0], -1), kk)
+        shard = jax.lax.axis_index(axis)
+        ik = jnp.where(dk < INF_DIST,
+                       ik + shard * (nb_local * bs), -1)
+        if dk.shape[1] < k:
+            pad = k - dk.shape[1]
+            dk = jnp.pad(dk, ((0, 0), (0, pad)), constant_values=INF_DIST)
+            ik = jnp.pad(ik, ((0, 0), (0, pad)), constant_values=-1)
+        # per-shard winners are tiny: all-gather + merge on every device
+        dg = jax.lax.all_gather(dk, axis)
+        ig = jax.lax.all_gather(ik, axis)
+        q_n = q.shape[0]
+        dd = jnp.moveaxis(dg, 0, 1).reshape(q_n, -1)
+        ii = jnp.moveaxis(ig, 0, 1).reshape(q_n, -1)
+        dm, pos = topk_smallest(dd, k)
+        im = jnp.take_along_axis(ii, pos, axis=1)
+        return dm, jnp.where(dm >= INF_DIST, -1, im)
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P(), P(), P(axis), P(axis), P(axis),
+                                P(axis)),
+                      out_specs=(P(), P()), check_vma=False)
+    return jax.jit(f)(queries, cents, blocks, block_sq, block_valid,
+                      block_part)
+
+
 def sharded_graph_search(g: DeviceGraph, queries: jnp.ndarray, *, k: int,
                          ef: int, metric: str = "cosine",
                          max_hops: int = 128, mesh: Mesh,

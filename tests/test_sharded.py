@@ -392,3 +392,64 @@ def test_multihost_over_capacity_mode_slices():
     # self-NN routes through the right slice and survives quantization
     keys2, d2 = mh.batch_search(v[:8], 1)
     assert [row[0] for row in keys2] == list(range(8))
+
+
+def test_sharded_ivf_candidates_matches_single_device():
+    """Block-sharded IVF (parallel/sharded.sharded_ivf_candidates):
+    shard the IVFIndex's own [NB, bs, D] block table over the mesh and
+    assert the merged probed scan matches the single-device IVF result
+    at the same nprobe, and hits the exact oracle at nprobe=P."""
+    from hnsw_tpu.index.ivf import IVFIndex
+    from hnsw_tpu.parallel.sharded import sharded_ivf_candidates
+
+    rng = np.random.default_rng(33)
+    n, d, k, P = 800, 24, 6, 16
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((12, d)).astype(np.float32)
+
+    ivf = IVFIndex(num_partitions=P, nprobe=P, metric="cosine", seed=0)
+    ivf.build(list(range(n)), v)
+    blocks, block_sq, block_valid, block_slot, cents, part_blocks = \
+        ivf._sync()
+
+    # block -> owning partition, padded to a multiple of the mesh size
+    NB = blocks.shape[0]
+    mesh = default_mesh()
+    S = mesh.shape["data"]
+    nb_pad = -(-NB // S) * S
+    block_part = np.full(nb_pad, -1, np.int32)
+    for p, bl in enumerate(part_blocks):
+        for b in bl:
+            block_part[b] = p
+    pad = nb_pad - NB
+    bs = blocks.shape[1]
+    blocks_p = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0)))
+    bsq_p = jnp.pad(block_sq, ((0, pad), (0, 0)))
+    bv_p = jnp.pad(block_valid, ((0, pad), (0, 0)))
+
+    dk, ik = sharded_ivf_candidates(
+        jnp.asarray(q), cents, blocks_p, bsq_p, bv_p,
+        jnp.asarray(block_part), nprobe=P, k=k, metric="cosine",
+        mesh=mesh)
+    ik = np.asarray(ik)
+    # decode flattened [NB*bs] grid ids -> store slots
+    flat_slot = np.pad(block_slot, ((0, pad), (0, 0)),
+                       constant_values=-1).reshape(-1)
+    slots = np.where(ik >= 0, flat_slot[np.clip(ik, 0, None)], -1)
+
+    # nprobe=P probes everything: must equal the exact oracle
+    gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
+    np.testing.assert_array_equal(slots, gt_i)
+    np.testing.assert_allclose(np.asarray(dk), gt_d, rtol=1e-4, atol=1e-4)
+
+    # a partial probe matches the single-device IVF at the same nprobe
+    keys1, _ = ivf.batch_search(q, k, _nprobe=4)
+    dk2, ik2 = sharded_ivf_candidates(
+        jnp.asarray(q), cents, blocks_p, bsq_p, bv_p,
+        jnp.asarray(block_part), nprobe=4, k=k, metric="cosine",
+        mesh=mesh)
+    ik2 = np.asarray(ik2)
+    slots2 = np.where(ik2 >= 0, flat_slot[np.clip(ik2, 0, None)], -1)
+    keys2 = [[ivf.slots.keys_for(np.asarray([s]))[0] if s >= 0 else None
+              for s in row] for row in slots2]
+    assert keys1 == keys2
