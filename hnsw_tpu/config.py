@@ -256,6 +256,14 @@ class AdaptiveConfig:
     recall_target: float = 0.98
     #: ceiling for the self-tuned graph ef.
     max_ef: int = 1024
+    #: CAPACITY arms for the bandit (VERDICT r3 item 8, extending
+    #: adaptive.go:196-241's strategy set to this engine's capacity
+    #: axes): each entry is a reduced-precision HBM rung ("int8",
+    #: "bf16", "fp16") served as its own strategy `exact_<rung>` from a
+    #: device table sharing the exact tier's host store. The recall
+    #: probes + quality floor guard them — clustered data that breaks
+    #: int8 ranking demotes that arm within one probe interval.
+    capacity_arms: tuple = ()
 
     def validate(self) -> None:
         if self.window_size <= 0:
@@ -268,6 +276,9 @@ class AdaptiveConfig:
             raise ValueError("recall_target must be in [0,1]")
         if self.max_ef < 1:
             raise ValueError("max_ef must be >= 1")
+        for arm in self.capacity_arms:
+            canonical_dtype(arm, ("int8", "bf16", "fp16"),
+                            "capacity_arms entry")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -59,6 +59,9 @@ class AdaptiveSelector:
         self.dim_threshold = self.cfg.initial_dim_threshold
         self.rng = random.Random(seed)
         self.query_clusters: Dict[bytes, int] = {}
+        #: arms ε-greedy may explore; AdaptiveHybridIndex extends this
+        #: with its capacity rungs (exact_int8/...) and stream tier.
+        self.explore: Tuple[str, ...] = EXPLORE_STRATEGIES
 
     # -- query clustering (adaptive.go:375-424) ------------------------------
     def _cluster_key(self, query: np.ndarray) -> bytes:
@@ -83,7 +86,7 @@ class AdaptiveSelector:
         self.last_was_exploration = False
         if self.rng.random() < self.cfg.exploration_factor:
             self.last_was_exploration = True
-            return self.rng.choice(EXPLORE_STRATEGIES)  # explore
+            return self.rng.choice(self.explore)  # explore
         clustered = self.observe_query_cluster(query)
         if dataset_size <= self.exact_threshold:
             choice = "exact"
@@ -153,7 +156,7 @@ class AdaptiveSelector:
                 n_exp += 1
         self.last_explored_idx: set = set()
         if n_exp > 0:
-            strat = self.rng.choice(EXPLORE_STRATEGIES)
+            strat = self.rng.choice(self.explore)
             idx = self.rng.sample(range(B), min(n_exp, B))
             base[idx] = strat
             self.last_explored_idx = set(idx)
@@ -247,6 +250,30 @@ class AdaptiveHybridIndex:
                             num_tables=self.hcfg.num_hash_tables,
                             num_bits=self.hcfg.num_hash_bits,
                             seed=self.hcfg.seed)
+        #: CAPACITY arms (AdaptiveConfig.capacity_arms, VERDICT r3 item
+        #: 8): one strategy `exact_<rung>` per reduced-precision HBM
+        #: rung, served from an ExactIndex SHARING the exact tier's
+        #: slots + host store (no 2x host RAM) but with its own
+        #: reduced-precision device table. The oracle probes + quality
+        #: floor demote a rung that cannot rank this workload (int8 on
+        #: tight clusters) within one probe interval.
+        self.capacity: Dict[str, ExactIndex] = {}
+        for arm in self.selector.cfg.capacity_arms:
+            ex = ExactIndex(metric=self.hcfg.metric, hbm_dtype=arm)
+            ex.slots = self.exact.slots
+            ex.store = self.exact.store
+            # the arm exists to measure its REDUCED rung — the f32
+            # host latency path would mask it at small batches (the
+            # f32 path is already the "exact" arm)
+            ex.host_serve_max_batch = 0
+            self.capacity[f"exact_{arm}"] = ex
+        #: optional STREAMING tier arm (index/streaming.py — disk-
+        #: resident vectors served in HBM-bounded chunks); registered
+        #: via attach_stream().
+        self.stream = None
+        if self.capacity:
+            self.selector.explore = (EXPLORE_STRATEGIES
+                                     + tuple(self.capacity))
         self._dim: Optional[int] = None
         #: strategies whose first (compile-inflated) sample was dropped.
         #: XLA compiles on a strategy's first query; recording that
@@ -270,29 +297,57 @@ class AdaptiveHybridIndex:
     def add(self, key: Hashable, vector) -> None:
         self.batch_add([key], np.asarray(vector, np.float32)[None])
 
+    def attach_stream(self, stream) -> None:
+        """Register a StreamingExactIndex as the bandit's ``stream``
+        arm (the disk tier for N >> RAM/HBM). The caller keeps
+        ownership of its CONTENTS in sync (subsequent mutations through
+        this index fan out to it like every other sub-index); the
+        recall probes + quality floor arbitrate it like any arm."""
+        self.stream = stream
+        extra = tuple(self.capacity) + ("stream",)
+        self.selector.explore = EXPLORE_STRATEGIES + extra
+
+    def _mark_capacity_dirty(self, count: int) -> None:
+        # slots + host store are shared with self.exact; the arms only
+        # need their reduced-precision device tables invalidated
+        for ex in self.capacity.values():
+            ex._dirty = True
+            ex._host_scan = None
+            ex._muts_since_fit += count
+
     def batch_add(self, keys: Sequence[Hashable], vectors) -> None:
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))
         self._dim = vectors.shape[1]
         self.exact.batch_add(keys, vectors)
+        self._mark_capacity_dirty(len(keys))
         if len(keys) >= 256:
             self.graph.build(list(keys), vectors)
         else:
             self.graph.batch_add(list(keys), vectors)
         self.lsh.batch_add(keys, vectors)
+        if self.stream is not None:
+            self.stream.batch_add(keys, vectors)
 
     def delete(self, key: Hashable) -> bool:
         a = self.exact.delete(key)
+        self._mark_capacity_dirty(1)
         b = self.graph.delete(key)
         c = self.lsh.delete(key)
-        return a or b or c
+        d = self.stream.delete(key) if self.stream is not None else False
+        return a or b or c or d
 
     def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
         """One vectorized graph in-edge sweep for the whole batch
         (adaptive_hybrid.go delete fan-out, batched — VERDICT r3)."""
         a = self.exact.batch_delete(keys)
+        self._mark_capacity_dirty(len(keys))
         b = self.graph.batch_delete(keys)
         c = self.lsh.batch_delete(keys)
-        return [x or y or z for x, y, z in zip(a, b, c)]
+        flags = [x or y or z for x, y, z in zip(a, b, c)]
+        if self.stream is not None:
+            d = self.stream.batch_delete(keys)
+            flags = [f or dd for f, dd in zip(flags, d)]
+        return flags
 
     # -- search (adaptive_hybrid.go:132-282) --------------------------------------
     def _exact_call(self, queries: np.ndarray, k: int, fast: bool):
@@ -344,6 +399,12 @@ class AdaptiveHybridIndex:
         if strategy in ("exact", "exact_fast"):
             keys, dists = self._exact_call(query[None], k,
                                            strategy == "exact_fast")
+            return [(kk, float(dd)) for kk, dd in zip(keys[0], dists[0])
+                    if kk is not None]
+        if strategy in self.capacity or strategy == "stream":
+            sub = self.stream if strategy == "stream" \
+                else self.capacity[strategy]
+            keys, dists = sub.batch_search(query[None], k)
             return [(kk, float(dd)) for kk, dd in zip(keys[0], dists[0])
                     if kk is not None]
         if strategy == "lsh":
@@ -443,6 +504,10 @@ class AdaptiveHybridIndex:
         if strategy in ("exact", "exact_fast"):
             keys, dists = self._exact_call(queries, k,
                                            strategy == "exact_fast")
+        elif strategy in self.capacity or strategy == "stream":
+            sub = self.stream if strategy == "stream" \
+                else self.capacity[strategy]
+            keys, dists = sub.batch_search(queries, k)
         elif strategy == "lsh":
             keys, dists = self.lsh.batch_search(queries, k)
         elif strategy == "hybrid":
@@ -647,3 +712,7 @@ class AdaptiveHybridIndex:
     def close(self) -> None:
         self.exact.close()
         self.lsh.close()
+        for ex in self.capacity.values():
+            ex.close()
+        if self.stream is not None:
+            self.stream.close()

@@ -576,3 +576,90 @@ def test_batch_delete_facades_single_sweep(monkeypatch, tmp_path):
     assert calls["batch"] == 1 and calls["single"] == 0, calls
     assert flags[:-1] == [True] * (len(doomed) - 1) and not flags[-1]
     assert len(dg) == n - (len(doomed) - 1)
+
+
+def test_bandit_capacity_arm_demoted_on_clustered_data():
+    """VERDICT r3 item 8: the bandit's capacity arms. Tight clusters
+    break int8 ranking (state._int8_block_fit physics) — the oracle
+    probe measures it and the quality floor abandons the arm within
+    ONE probe interval, serving the champion's results instead. The
+    fp16 rung ranks the same data fine and keeps its arm."""
+    from hnsw_tpu.config import AdaptiveConfig
+    from hnsw_tpu.index.adaptive import AdaptiveHybridIndex
+
+    n, d, k = 3000, 32, 10
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((30, d)).astype(np.float32) * 5
+    data = (centers[rng.integers(0, 30, n)]
+            + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    q = (centers[rng.integers(0, 30, 16)]
+         + 0.3 * rng.standard_normal((16, d)).astype(np.float32))
+    _, gt = np_exact_topk(q, data, k, "cosine")
+
+    idx = AdaptiveHybridIndex(adaptive_config=AdaptiveConfig(
+        capacity_arms=("int8", "fp16"), recall_probe_interval=1,
+        recall_target=0.95, exploration_factor=1.0))
+    assert "exact_int8" in idx.selector.explore
+    idx.batch_add(list(range(n)), data)
+
+    # pin exploration to the int8 arm: call 1 warms it, call 2 records
+    # its probed recall (one probe interval)
+    idx.selector.explore = ("exact_int8",)
+    for _ in range(2):
+        out = idx.batch_search(q, k)
+    st = idx.selector.metrics.stats("exact_int8")
+    assert st is not None and st.avg_recall() is not None
+    assert st.avg_recall() < 0.95, st.avg_recall()   # measured broken
+    # quality floor: the arm is demoted after one probed batch
+    assert idx._backstop_arm("exact_int8") == "exact"
+    # ... and the SERVED results met the target anyway (champion serve)
+    rec = np.mean([len({kk for kk, _ in out[i]} & set(map(int, gt[i])))
+                   / k for i in range(16)])
+    assert rec >= 0.95, rec
+
+    # fp16 ranks this data (jitter 0.3 >> fp16 spacing): arm survives
+    idx.selector.explore = ("exact_fp16",)
+    for _ in range(2):
+        idx.batch_search(q, k)
+    st16 = idx.selector.metrics.stats("exact_fp16")
+    assert st16 is not None and st16.avg_recall() is not None
+    assert st16.avg_recall() >= 0.95, st16.avg_recall()
+    assert idx._backstop_arm("exact_fp16") is None
+    idx.close()
+
+
+def test_bandit_stream_arm_serves_and_is_probed(tmp_path):
+    """The streaming (disk) tier joins the bandit via attach_stream:
+    writes fan out to it, its arm serves real results, and the oracle
+    probe measures it like any arm."""
+    from hnsw_tpu.config import AdaptiveConfig
+    from hnsw_tpu.index.adaptive import AdaptiveHybridIndex
+    from hnsw_tpu.index.streaming import StreamingExactIndex
+
+    n, d, k = 600, 16, 5
+    v = make_vectors(n, d, seed=77)
+    q = make_vectors(8, d, seed=78)
+    idx = AdaptiveHybridIndex(adaptive_config=AdaptiveConfig(
+        recall_probe_interval=1, recall_target=0.9,
+        exploration_factor=1.0))
+    idx.attach_stream(StreamingExactIndex(str(tmp_path / "st"),
+                                          metric="cosine"))
+    assert "stream" in idx.selector.explore
+    idx.batch_add(list(range(n)), v)
+    assert len(idx.stream) == n
+
+    idx.selector.explore = ("stream",)
+    for _ in range(2):
+        out = idx.batch_search(q, k)
+    st = idx.selector.metrics.stats("stream")
+    assert st is not None and st.count > 0
+    # streaming exact is f32-faithful: measured at/near 1.0
+    assert st.avg_recall() is not None and st.avg_recall() >= 0.9
+    _, gt = np_exact_topk(q, v, k, "cosine")
+    rec = np.mean([len({kk for kk, _ in out[i]} & set(map(int, gt[i])))
+                   / k for i in range(8)])
+    assert rec >= 0.9
+    # deletes fan out to the stream tier too
+    assert idx.delete(0)
+    assert len(idx.stream) == n - 1
+    idx.close()
