@@ -341,9 +341,16 @@ class Graph:
         method:
           "device" — wave-batched device builder (core/build_device)
           "host"   — native C++ sequential builder (hnsw_native.cpp)
-          "auto"   — host for small batches (measured faster below ~32k:
-                     94s for 30k sequential vs 218s device waves on the
-                     tunneled TPU; quality identical), device above.
+          "auto"   — host up to ~500k, device above. The AVX-512 native
+                     engine moved the crossover WAY up from round 3's
+                     ~32k: measured 64 s vs 779 s at 100k and 199 s vs
+                     1016 s at 300k (seq_vs_wave rows, wave=8192), at
+                     recall parity (wave ≤ +0.04 better). Above 500k
+                     the device builder wins on capability, not speed:
+                     wave checkpoints/resume/abort_deadline (a multi-
+                     hour un-checkpointed host build is one crash from
+                     zero) and fp16/quant descent for tables beyond
+                     host-RAM comfort.
 
         ``block_m`` narrows the quant-descent neighbor blocks to the
         first block_m edges per row (HBM knob for 2M+ single-chip
@@ -390,7 +397,8 @@ class Graph:
         self.store.put_batch(slot_list, vectors)
         if method == "auto":
             from hnsw_tpu import native
-            method = ("host" if native.available() and len(keys) <= 32768
+            method = ("host" if native.available()
+                      and len(keys) <= 500_000
                       else "device")
         if method == "host":
             self.host.insert_many(list(slot_list))
