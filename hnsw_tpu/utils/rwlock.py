@@ -15,9 +15,12 @@ actually needs:
   a search),
 - read->write upgrade is refused loudly (classic deadlock).
 
-No writer priority: a continuous read storm can starve a writer, which
-matches the serving-first posture (the reference's RWMutex does give
-writers priority; deviation documented).
+Writer priority, like the reference's RWMutex: a QUEUED writer blocks
+new top-level read acquisitions (re-entrant reads still proceed — see
+the deadlock shape above), so a continuous read storm cannot starve a
+mutation. Measured necessity, not theory: on a contended single-core
+host, spinning reader threads starved a batch_add indefinitely under
+the no-priority variant.
 """
 from __future__ import annotations
 
@@ -31,6 +34,7 @@ class RWLock:
         self._readers = 0            # active read holds (all threads)
         self._writer: int | None = None   # owning thread ident
         self._wdepth = 0
+        self._w_waiting = 0          # queued writers (priority gate)
         self._local = threading.local()   # per-thread read depth
 
     # -- read side -----------------------------------------------------------
@@ -41,7 +45,7 @@ class RWLock:
             # nested read (same thread) or read-under-own-write: never
             # wait — waiting here could deadlock against a queued writer
             if depth == 0 and self._writer != me:
-                while self._writer is not None:
+                while self._writer is not None or self._w_waiting:
                     self._cond.wait()
             self._local.depth = depth + 1
             self._readers += 1
@@ -64,8 +68,12 @@ class RWLock:
                 raise RuntimeError(
                     "read->write upgrade would deadlock: release the "
                     "read hold before mutating")
-            while self._writer is not None or self._readers > 0:
-                self._cond.wait()
+            self._w_waiting += 1
+            try:
+                while self._writer is not None or self._readers > 0:
+                    self._cond.wait()
+            finally:
+                self._w_waiting -= 1
             self._writer = me
             self._wdepth = 1
 

@@ -148,3 +148,36 @@ def test_concurrent_add_search_storm():
         live_checked += 1
     assert live_checked == 100
     g.validate()
+
+
+def test_rwlock_writer_priority_beats_read_storm():
+    """A queued writer must acquire even under a continuous read storm
+    (the reference RWMutex's writer priority). Without the priority
+    gate, spinning readers starved batch_add indefinitely on a
+    contended single-core host."""
+    rw = RWLock()
+    stop = threading.Event()
+    got_write = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            with rw.read():
+                pass
+
+    ts = [threading.Thread(target=reader) for _ in range(3)]
+    for t in ts:
+        t.start()
+    time.sleep(0.05)           # storm established
+
+    def writer():
+        with rw.write():
+            got_write.set()
+
+    w = threading.Thread(target=writer)
+    w.start()
+    ok = got_write.wait(10)
+    stop.set()
+    w.join(5)
+    for t in ts:
+        t.join(5)
+    assert ok, "writer starved by read storm"
