@@ -69,8 +69,16 @@ class LSHIndex:
                 self.delete(k)
         slot_list = np.asarray([self.slots.assign(k)[0] for k in keys])
         self.store.put_batch(slot_list, vectors)
-        codes = np.asarray(hash_codes(jnp.asarray(vectors),
-                                      jnp.asarray(self.planes)))
+        # hash in bounded chunks: one jnp.asarray of an 8M x 128 batch
+        # is a 4.3 GB upload through the relay tunnel (CLAUDE.md
+        # hazard) — and hashing is chunk-local, so nothing is lost
+        planes_dev = jnp.asarray(self.planes)
+        step = max(1, (256 << 20) // max(vectors[0].nbytes, 1))
+        codes = np.concatenate([
+            np.asarray(hash_codes(jnp.asarray(vectors[c0:c0 + step]),
+                                  planes_dev))
+            for c0 in range(0, len(vectors), step)]) \
+            if len(vectors) else np.zeros((0, self.num_tables), np.int64)
         for slot, code_row in zip(slot_list, codes):
             slot = int(slot)
             self._codes[slot] = code_row
