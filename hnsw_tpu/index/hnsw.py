@@ -401,7 +401,32 @@ class Graph:
                       and len(keys) <= 500_000
                       else "device")
         if method == "host":
-            self.host.insert_many(list(slot_list))
+            # checkpoint/deadline parity with the device path: insert
+            # in slices of checkpoint_every*wave nodes, snapshotting
+            # between slices — a multi-minute native build (auto routes
+            # host up to 500k now) is restartable via resume_build and
+            # honors abort_deadline the same way
+            sl = list(slot_list)
+            step = (max(1, checkpoint_every) * max(1, wave)
+                    if checkpoint_path is not None
+                    or abort_deadline is not None else len(sl) or 1)
+            for c0 in range(0, len(sl), step):
+                self.host.insert_many(sl[c0:c0 + step])
+                done_all = c0 + step >= len(sl)
+                if not done_all:
+                    import time as _time
+
+                    from hnsw_tpu.core.build_device import \
+                        BuildDeadlineExceeded
+                    if checkpoint_path is not None:
+                        from hnsw_tpu.io.codec import save_graph
+                        self._dirty = True
+                        save_graph(self, checkpoint_path)
+                    if (abort_deadline is not None
+                            and _time.time() >= abort_deadline):
+                        raise BuildDeadlineExceeded(
+                            f"host build deadline: {c0 + step}/{len(sl)}"
+                            f" inserted; resume with Graph.resume_build")
         else:
             from hnsw_tpu.core.build_device import bulk_insert_device
             on_ckpt = None
@@ -430,6 +455,7 @@ class Graph:
     @classmethod
     def resume_build(cls, checkpoint_path: str,
                      wave: int = 1024,
+                     method: str = "device",
                      quant_descent: bool = False,
                      block_m: Optional[int] = None,
                      descent_dtype: str = "float32",
@@ -439,10 +465,13 @@ class Graph:
 
         The checkpoint stores every assigned key + vector; nodes the
         build had not yet inserted are exactly those with level < 0.
-        Loads the snapshot, re-runs the device waves over the pending
-        slots only (fresh level sampling — same geometric law), and
-        keeps checkpointing to the same path. Returns the completed
-        Graph. A finished checkpoint simply loads and returns.
+        Loads the snapshot, inserts the pending slots only (fresh level
+        sampling — same geometric law), and keeps checkpointing to the
+        same path. ``method`` follows build(): "device" (default; the
+        multi-hour 1M+ regime this exists for), "host" (native
+        sequential), or "auto" (host while pending <= 500k).  Returns
+        the completed Graph. A finished checkpoint simply loads and
+        returns.
         """
         from hnsw_tpu.io.codec import load_graph
         g = load_graph(checkpoint_path)
@@ -451,18 +480,39 @@ class Graph:
                                len(g.slots.key_to_slot))
         pending = np.sort(assigned[host.levels[assigned] < 0])
         if len(pending):
-            from hnsw_tpu.core.build_device import bulk_insert_device
             from hnsw_tpu.io.codec import save_graph
+            if method == "auto":
+                from hnsw_tpu import native
+                method = ("host" if native.available()
+                          and len(pending) <= 500_000 else "device")
+            if method == "host":
+                from hnsw_tpu.core.build_device import \
+                    BuildDeadlineExceeded
+                step = max(1, checkpoint_every) * max(1, wave)
+                pl = list(pending)
+                for c0 in range(0, len(pl), step):
+                    host.insert_many(pl[c0:c0 + step])
+                    if c0 + step < len(pl):
+                        g._dirty = True
+                        save_graph(g, checkpoint_path)
+                        import time as _time
+                        if (abort_deadline is not None
+                                and _time.time() >= abort_deadline):
+                            raise BuildDeadlineExceeded(
+                                f"host resume deadline: "
+                                f"{c0 + step}/{len(pl)} inserted")
+            else:
+                from hnsw_tpu.core.build_device import bulk_insert_device
 
-            def on_ckpt(done, _p=checkpoint_path):
-                save_graph(g, _p)
-            bulk_insert_device(host, pending, wave=wave,
-                               quant_descent=quant_descent,
-                               block_m=block_m,
-                               descent_dtype=descent_dtype,
-                               on_checkpoint=on_ckpt,
-                               checkpoint_every=checkpoint_every,
-                               abort_deadline=abort_deadline)
+                def on_ckpt(done, _p=checkpoint_path):
+                    save_graph(g, _p)
+                bulk_insert_device(host, pending, wave=wave,
+                                   quant_descent=quant_descent,
+                                   block_m=block_m,
+                                   descent_dtype=descent_dtype,
+                                   on_checkpoint=on_ckpt,
+                                   checkpoint_every=checkpoint_every,
+                                   abort_deadline=abort_deadline)
             save_graph(g, checkpoint_path)
             g._block_fit_cache = None
             g._mut_since_fit = 0

@@ -219,8 +219,13 @@ def _load(z, config=None, allow_pickle: bool = False):
 
         host = g.host
         host._ensure(n - 1, neighbors.shape[0] - 1)
-        host.neighbors[:neighbors.shape[0], :n] = neighbors
-        host.levels[:n] = levels
+        # restore by the STORED widths: a mid-build checkpoint (host
+        # slices grow arrays lazily) covers only the inserted prefix —
+        # the rest stays at the -1 defaults, which is exactly the
+        # "pending" state resume_build looks for
+        host.neighbors[:neighbors.shape[0], :neighbors.shape[1]] = \
+            neighbors
+        host.levels[:levels.shape[0]] = levels
         host.entry = entry
         host.top = top
         host.count = count

@@ -356,3 +356,37 @@ def test_seq_vs_wave_anchor_midscale():
         r_seq = _recall(g_seq.batch_search(q, k, ef=ef)[0], gt, k)
         r_wave = _recall(g_wave.batch_search(q, k, ef=ef)[0], gt, k)
         assert r_wave >= r_seq - 0.02, (ef, r_seq, r_wave)
+
+
+def test_host_build_checkpoint_deadline_and_resume(tmp_path):
+    """Native (host) builds honor checkpoint_path + abort_deadline
+    with the same slice semantics as device waves (auto routes host up
+    to 500k now, so multi-minute native builds must be restartable),
+    and resume_build(method='host') finishes the pending tail."""
+    from hnsw_tpu.core.build_device import BuildDeadlineExceeded
+
+    n, d = 1200, 24
+    vecs = make_vectors(n, d, seed=6)
+    keys = list(range(n))
+    ckpt = str(tmp_path / "hostbuild.npz")
+
+    g = Graph(m=8, metric="cosine", seed=0)
+    # deadline already past: first slice inserts, checkpoints, raises
+    with pytest.raises(BuildDeadlineExceeded, match="resume"):
+        g.build(keys, vecs, method="host", wave=128,
+                checkpoint_path=ckpt, checkpoint_every=2,
+                abort_deadline=0.0)
+
+    g2 = Graph.resume_build(ckpt, wave=128, method="host")
+    assert g2.host.count == n
+    assert all((g2.host.levels[g2.slots.key_to_slot[k]] >= 0)
+               for k in keys)
+    q = make_vectors(48, d, seed=98)
+    _, gt = np_exact_topk(q, vecs, 10, "cosine")
+    kk, _ = g2.batch_search(q, 10, ef=128)
+    rec = np.mean([len(set(kk[r]) & set(map(int, gt[r]))) / 10
+                   for r in range(48)])
+    assert rec >= 0.9, rec
+    # a finished checkpoint just loads
+    g3 = Graph.resume_build(ckpt, method="auto")
+    assert g3.host.count == n
