@@ -341,16 +341,18 @@ class Graph:
         method:
           "device" — wave-batched device builder (core/build_device)
           "host"   — native C++ sequential builder (hnsw_native.cpp)
-          "auto"   — host up to ~500k, device above. The AVX-512 native
+          "auto"   — host up to 1M, device above. The AVX-512 native
                      engine moved the crossover WAY up from round 3's
-                     ~32k: measured 64 s vs 779 s at 100k and 199 s vs
-                     1016 s at 300k (seq_vs_wave rows, wave=8192), at
-                     recall parity (wave ≤ +0.04 better). Above 500k
-                     the device builder wins on capability, not speed:
-                     wave checkpoints/resume/abort_deadline (a multi-
-                     hour un-checkpointed host build is one crash from
-                     zero) and fp16/quant descent for tables beyond
-                     host-RAM comfort.
+                     ~32k: measured 64 s vs 779 s at 100k, 199 s vs
+                     1016 s at 300k, and 898 s vs ~2367 s at 1M
+                     (seq_vs_wave + native_seq_build rows), at recall
+                     parity (wave ≤ +0.04 better at ≤300k). Above 1M
+                     the device builder's configs are the measured
+                     ones (fp16/quant descent, wave checkpoints at 8M+
+                     scale) and per-node rates converge (~1.1k/s host
+                     vs ~0.9k/s device at 8M) — host builds also
+                     checkpoint/resume/abort now, so revisit with an
+                     8M head-to-head.
 
         ``block_m`` narrows the quant-descent neighbor blocks to the
         first block_m edges per row (HBM knob for 2M+ single-chip
@@ -398,7 +400,7 @@ class Graph:
         if method == "auto":
             from hnsw_tpu import native
             method = ("host" if native.available()
-                      and len(keys) <= 500_000
+                      and len(keys) <= 1_000_000
                       else "device")
         if method == "host":
             # checkpoint/deadline parity with the device path: insert
@@ -484,7 +486,7 @@ class Graph:
             if method == "auto":
                 from hnsw_tpu import native
                 method = ("host" if native.available()
-                          and len(pending) <= 500_000 else "device")
+                          and len(pending) <= 1_000_000 else "device")
             if method == "host":
                 from hnsw_tpu.core.build_device import \
                     BuildDeadlineExceeded
