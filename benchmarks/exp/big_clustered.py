@@ -230,10 +230,26 @@ def main():
         # resume_build: a finished checkpoint just loads; a partial one
         # (killed/wedged build) finishes its remaining waves first — a
         # serve run can never silently measure a half-built graph.
+        # abort_deadline/checkpoint_every ride along: the documented 16M
+        # resume command IS this branch, and it must honor
+        # HNSW_TPU_ABORT_AT exactly like the build branch (a resumed
+        # multi-hour build past round end would block the single-client
+        # relay for the driver's bench).
+        from hnsw_tpu.core.build_device import BuildDeadlineExceeded
         t0 = time.perf_counter()
-        g = Graph.resume_build(cache, wave=wave,
-                               descent_dtype="float16" if fp16
-                               else "float32")
+        try:
+            g = Graph.resume_build(
+                cache, wave=wave,
+                descent_dtype="float16" if fp16 else "float32",
+                checkpoint_every=256 if n > 10_000_000 else 128,
+                abort_deadline=abort_at)
+        except BuildDeadlineExceeded as e:
+            emit({"op": "device_build_partial", "n": n, "wave": wave,
+                  "kind": "clustered",
+                  "descent_dtype": "float16" if fp16 else "float32",
+                  "seconds": round(time.perf_counter() - t0, 1),
+                  "checkpoint": cache, "note": str(e)})
+            return
         print(f"# cache load: {time.perf_counter() - t0:.0f}s", flush=True)
 
     if fp16:

@@ -461,11 +461,10 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
                 block_m = 8
 
     n_cand = min(cfg.ef_construction, 2 * cfg.m_base)
-    import os as _os
-    import sys as _sys
     import time as _time
-    _progress = _os.environ.get("HNSW_TPU_BUILD_PROGRESS") == "1"
-    _t_start = _time.perf_counter()
+
+    from hnsw_tpu.utils.progress import BuildHeartbeat
+    _hb = BuildHeartbeat(n_new, "device build")
     _waves_done = 0
     w0 = start
     while w0 < n_new:
@@ -596,11 +595,12 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             host.entry = int(wslots[int(np.argmax(wlevels))])
         w0 = w1
         _waves_done += 1
-        if _progress:
+        if _hb.due():
+            # sync before printing: the count must reflect COMPLETED
+            # device work, or the heartbeat lies during long dispatch
+            # pipelines exactly when an operator needs the truth
             jax.block_until_ready(nb0_dev)
-            print(f"# build wave done: {w0}/{n_new} "
-                  f"(+{W} @ {_time.perf_counter() - _t_start:.0f}s)",
-                  file=_sys.stderr, flush=True)
+            _hb.emit(w0, extra=f" [wave +{W}]")
         _deadline_hit = (abort_deadline is not None and w0 < n_new
                          and _time.time() >= abort_deadline)
         if _deadline_hit or (
@@ -613,6 +613,11 @@ def bulk_insert_device(host: host_build.HostGraph, slots: np.ndarray, *,
             _sparse_sync(host, nb0_dev, nbU_tabs, ups, u_counts, ncap)
             if on_checkpoint is not None:
                 on_checkpoint(int(w0))
+                ck = getattr(on_checkpoint, "checkpoint_path", None)
+                if ck:
+                    _hb.checkpoint(ck)
+                elif not _hb.silent:
+                    _hb.emit(w0, extra=" [checkpoint synced]")
         if _deadline_hit:
             raise BuildDeadlineExceeded(
                 f"build deadline reached after {w0}/{n_new} inserts; "

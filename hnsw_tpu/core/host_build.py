@@ -256,13 +256,31 @@ class HostGraph:
                 levels.append(lvl)
         self._ensure(max(slots), max(levels))
         from hnsw_tpu import native
+        done = 0
         if native.available():
             import numpy as _np
-            if native.insert_batch(self, _np.asarray(slots, _np.int64),
-                                   _np.asarray(levels, _np.int32)):
-                if self.top >= 0 and self.entry >= 0:
-                    return
-        for s, l in zip(slots, levels):
+
+            from hnsw_tpu.utils.progress import BuildHeartbeat
+
+            # chunked native calls so a multi-minute sequential build
+            # heartbeats like the device waves do (per-call ctypes
+            # overhead is pointer marshalling only); a False return
+            # leaves the arrays for that chunk untouched, so the Python
+            # fallback resumes from `done`
+            hb = BuildHeartbeat(len(slots), "host build")
+            step = 16384
+            for c0 in range(0, len(slots), step):
+                if not native.insert_batch(
+                        self,
+                        _np.asarray(slots[c0:c0 + step], _np.int64),
+                        _np.asarray(levels[c0:c0 + step], _np.int32)):
+                    break
+                done = min(c0 + step, len(slots))
+                if done < len(slots) and hb.due():
+                    hb.emit(done)
+            if done >= len(slots) and self.top >= 0 and self.entry >= 0:
+                return
+        for s, l in zip(slots[done:], levels[done:]):
             self.insert(s, self.store.vectors[s], level=l)
 
     def delete_many(self, slots) -> None:

@@ -383,6 +383,9 @@ class Graph:
         # full-f32 build that OOMs an hour into a 16M run
         descent_dtype = canonical_dtype(
             descent_dtype, ("float32", "float16"), "descent_dtype")
+        if method not in ("auto", "host", "device"):
+            raise ValueError(
+                f"unknown build method {method!r}: auto|host|device")
         vectors = np.asarray(vectors, np.float32)
         if len(keys) != len(vectors):
             raise ValueError("keys/vectors length mismatch")
@@ -406,7 +409,7 @@ class Graph:
             # checkpoint/deadline parity with the device path: insert
             # in slices of checkpoint_every*wave nodes, snapshotting
             # between slices — a multi-minute native build (auto routes
-            # host up to 500k now) is restartable via resume_build and
+            # host up to 1M now) is restartable via resume_build and
             # honors abort_deadline the same way
             sl = list(slot_list)
             step = (max(1, checkpoint_every) * max(1, wave)
@@ -426,9 +429,12 @@ class Graph:
                         save_graph(self, checkpoint_path)
                     if (abort_deadline is not None
                             and _time.time() >= abort_deadline):
+                        hint = ("; resume with Graph.resume_build"
+                                if checkpoint_path is not None else
+                                " (no checkpoint_path: not resumable)")
                         raise BuildDeadlineExceeded(
                             f"host build deadline: {c0 + step}/{len(sl)}"
-                            f" inserted; resume with Graph.resume_build")
+                            f" inserted{hint}")
         else:
             from hnsw_tpu.core.build_device import bulk_insert_device
             on_ckpt = None
@@ -437,6 +443,7 @@ class Graph:
 
                 def on_ckpt(done, _p=checkpoint_path):
                     save_graph(self, _p)
+                on_ckpt.checkpoint_path = checkpoint_path
             bulk_insert_device(self.host, slot_list, wave=wave,
                                quant_descent=quant_descent,
                                block_m=block_m,
@@ -471,10 +478,13 @@ class Graph:
         sampling — same geometric law), and keeps checkpointing to the
         same path. ``method`` follows build(): "device" (default; the
         multi-hour 1M+ regime this exists for), "host" (native
-        sequential), or "auto" (host while pending <= 500k).  Returns
+        sequential), or "auto" (host while pending <= 1M).  Returns
         the completed Graph. A finished checkpoint simply loads and
         returns.
         """
+        if method not in ("auto", "host", "device"):
+            raise ValueError(
+                f"unknown build method {method!r}: auto|host|device")
         from hnsw_tpu.io.codec import load_graph
         g = load_graph(checkpoint_path)
         host = g.host
@@ -508,6 +518,7 @@ class Graph:
 
                 def on_ckpt(done, _p=checkpoint_path):
                     save_graph(g, _p)
+                on_ckpt.checkpoint_path = checkpoint_path
                 bulk_insert_device(host, pending, wave=wave,
                                    quant_descent=quant_descent,
                                    block_m=block_m,

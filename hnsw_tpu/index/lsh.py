@@ -73,7 +73,10 @@ class LSHIndex:
         # is a 4.3 GB upload through the relay tunnel (CLAUDE.md
         # hazard) — and hashing is chunk-local, so nothing is lost
         planes_dev = jnp.asarray(self.planes)
-        step = max(1, (256 << 20) // max(vectors[0].nbytes, 1))
+        # row size from shape, not vectors[0]: an empty (0, d) batch
+        # must not IndexError before the len()-guarded codes path
+        step = max(1, (256 << 20)
+                   // max(int(vectors.shape[1]) * vectors.itemsize, 1))
         codes = np.concatenate([
             np.asarray(hash_codes(jnp.asarray(vectors[c0:c0 + step]),
                                   planes_dev))

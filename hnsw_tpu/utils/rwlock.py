@@ -72,8 +72,14 @@ class RWLock:
             try:
                 while self._writer is not None or self._readers > 0:
                     self._cond.wait()
-            finally:
+            except BaseException:
+                # top-level readers gate on _w_waiting: if this writer
+                # bails (e.g. KeyboardInterrupt mid-wait) without ever
+                # installing itself, wake them or they miss the drop
                 self._w_waiting -= 1
+                self._cond.notify_all()
+                raise
+            self._w_waiting -= 1
             self._writer = me
             self._wdepth = 1
 

@@ -348,7 +348,7 @@ def test_seq_vs_wave_anchor_midscale():
     _, gt = np_exact_topk(q, v, k, "cosine")
 
     g_seq = Graph(seed=0)
-    g_seq.build(list(range(n)), v, method="native")   # sequential insertion
+    g_seq.build(list(range(n)), v, method="host")     # sequential insertion
     g_wave = Graph(seed=0)
     g_wave.build(list(range(n)), v, method="device", wave=1024)
 
