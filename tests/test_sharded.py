@@ -453,3 +453,73 @@ def test_sharded_ivf_candidates_matches_single_device():
     keys2 = [[ivf.slots.keys_for(np.asarray([s]))[0] if s >= 0 else None
               for s in row] for row in slots2]
     assert keys1 == keys2
+
+
+def test_rowsharded_single_graph_recall_and_parity():
+    """M6: ONE graph with layer-0 rows sharded over the mesh must match
+    the single-device pivot-seeded search on the same graph (the
+    distances are owner-computed at HIGHEST and psum'd exactly once)
+    and clear the oracle recall bar."""
+    from hnsw_tpu.core.search import pivot_seeds, search_graph
+    from hnsw_tpu.parallel.rowsharded import (make_row_shards,
+                                              rowsharded_graph_search)
+
+    rng = np.random.default_rng(33)
+    n, d, k, ef, nq = 4096, 64, 10, 128, 32
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    g = Graph(m=8, seed=0, ef_construction=60)
+    g.build(list(range(n)), v, wave=512)
+
+    mesh = default_mesh()
+    shards = make_row_shards(g, 8)
+    assert shards.nbr0.shape[0] % 8 == 0
+    dk, ik = rowsharded_graph_search(shards, jnp.asarray(q), k=k, ef=ef,
+                                     seeds=16, expand=2, mesh=mesh)
+    ik = np.asarray(ik)
+
+    gt_d, gt_i = np_exact_topk(q, v, k, "cosine")
+    rec = sum(len(set(map(int, ik[r])) & set(map(int, gt_i[r])))
+              for r in range(nq)) / (nq * k)
+    assert rec >= 0.85, f"row-sharded recall {rec:.3f}"
+
+    # parity vs the single-device pivot-seeded beam (same entry mode,
+    # same merge network, same expand)
+    g.entry_mode = "pivots"
+    dev = g.device_graph()
+    pids, pvecs, psq = g._pivot_arrays()
+    seeds = pivot_seeds(jnp.asarray(q), pvecs, psq, pids, s=16,
+                        metric="cosine")
+    d1, i1 = search_graph(dev, jnp.asarray(q), k=k, ef=ef,
+                          metric="cosine", expand=2, seed_ids=seeds,
+                          merge="bitonic")
+    i1 = np.asarray(i1)
+    overlap = sum(len(set(map(int, ik[r])) & set(map(int, i1[r])))
+                  for r in range(nq)) / (nq * k)
+    assert overlap >= 0.9, f"single-device parity overlap {overlap:.3f}"
+
+
+def test_rowsharded_fp16_capacity_rows():
+    """fp16 shard rows (the >HBM capacity mode) serve the same results
+    on well-separated data."""
+    from hnsw_tpu.parallel.rowsharded import (make_row_shards,
+                                              rowsharded_graph_search)
+
+    rng = np.random.default_rng(34)
+    n, d, k = 2048, 32, 5
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    g = Graph(m=8, seed=0)
+    g.build(list(range(n)), v, wave=512)
+    mesh = default_mesh()
+    s32 = make_row_shards(g, 8)
+    s16 = make_row_shards(g, 8, dtype="float16")
+    assert str(s16.vectors.dtype) == "float16"
+    _, i32 = rowsharded_graph_search(s32, jnp.asarray(q), k=k, ef=64,
+                                     mesh=mesh)
+    _, i16 = rowsharded_graph_search(s16, jnp.asarray(q), k=k, ef=64,
+                                     mesh=mesh)
+    i32, i16 = np.asarray(i32), np.asarray(i16)
+    overlap = sum(len(set(map(int, i32[r])) & set(map(int, i16[r])))
+                  for r in range(len(i32))) / i32.size
+    assert overlap >= 0.9, f"fp16 rows overlap {overlap:.3f}"
