@@ -39,12 +39,15 @@ from hnsw_tpu.index.hnsw import Graph
 from hnsw_tpu.index.lsh import LSHIndex
 from hnsw_tpu.telemetry import (DistanceStats, MetricsWindow, QueryMetrics)
 
-STRATEGIES = ("exact", "exact_fast", "lsh", "hnsw", "hybrid")
+STRATEGIES = ("exact", "exact_fast", "lsh", "hnsw", "hybrid", "ivf")
 #: strategies the ε-greedy arm may explore (reference explores its three
 #: base strategies, adaptive.go:199; ``exact_fast`` is this engine's
 #: capacity tier — bf16 scan + hardware approx top-k + f32 rerank — and
-#: must be explored for the bandit to discover its latency edge).
-EXPLORE_STRATEGIES = ("exact", "exact_fast", "lsh", "hnsw")
+#: must be explored for the bandit to discover its latency edge;
+#: ``ivf`` is the engine's measured best large-N clustered tier —
+#: HybridConfig.large_strategy defaults to it — so the flagship bandit
+#: must be able to discover and elect it too, VERDICT r4 item 4).
+EXPLORE_STRATEGIES = ("exact", "exact_fast", "lsh", "hnsw", "ivf")
 
 
 class AdaptiveSelector:
@@ -250,6 +253,16 @@ class AdaptiveHybridIndex:
                             num_tables=self.hcfg.num_hash_tables,
                             num_bits=self.hcfg.num_hash_bits,
                             seed=self.hcfg.seed)
+        # the engine's measured large-N clustered tier (recall 1.0 @
+        # 6.4k qps on random 10k with auto-nprobe; HybridIndex's
+        # large_strategy default) — same parameterization as
+        # index/hybrid.py:70-74 so the bandit arbitrates the identical
+        # tier the tiered dispatcher ships
+        from hnsw_tpu.index.ivf import IVFIndex
+        self.ivf = IVFIndex(num_partitions=self.hcfg.num_partitions,
+                            nprobe=self.hcfg.ivf_nprobe,
+                            metric=self.hcfg.metric,
+                            seed=self.hcfg.seed)
         #: CAPACITY arms (AdaptiveConfig.capacity_arms, VERDICT r3 item
         #: 8): one strategy `exact_<rung>` per reduced-precision HBM
         #: rung, served from an ExactIndex SHARING the exact tier's
@@ -325,6 +338,7 @@ class AdaptiveHybridIndex:
         else:
             self.graph.batch_add(list(keys), vectors)
         self.lsh.batch_add(keys, vectors)
+        self.ivf.batch_add(keys, vectors)
         if self.stream is not None:
             self.stream.batch_add(keys, vectors)
 
@@ -333,8 +347,9 @@ class AdaptiveHybridIndex:
         self._mark_capacity_dirty(1)
         b = self.graph.delete(key)
         c = self.lsh.delete(key)
+        e = self.ivf.delete(key)
         d = self.stream.delete(key) if self.stream is not None else False
-        return a or b or c or d
+        return a or b or c or d or e
 
     def batch_delete(self, keys: Sequence[Hashable]) -> List[bool]:
         """One vectorized graph in-edge sweep for the whole batch
@@ -343,7 +358,9 @@ class AdaptiveHybridIndex:
         self._mark_capacity_dirty(len(keys))
         b = self.graph.batch_delete(keys)
         c = self.lsh.batch_delete(keys)
-        flags = [x or y or z for x, y, z in zip(a, b, c)]
+        e = self.ivf.batch_delete(keys)
+        flags = [x or y or z or w
+                 for x, y, z, w in zip(a, b, c, e)]
         if self.stream is not None:
             d = self.stream.batch_delete(keys)
             flags = [f or dd for f, dd in zip(flags, d)]
@@ -409,6 +426,8 @@ class AdaptiveHybridIndex:
                     if kk is not None]
         if strategy == "lsh":
             return self.lsh.search(query, k)
+        if strategy == "ivf":
+            return self.ivf.search(query, k)
         if strategy == "hybrid":
             # LSH candidates + graph refinement, merged
             res = {k_: d for k_, d in self.lsh.search(query, k)}
@@ -510,6 +529,8 @@ class AdaptiveHybridIndex:
             keys, dists = sub.batch_search(queries, k)
         elif strategy == "lsh":
             keys, dists = self.lsh.batch_search(queries, k)
+        elif strategy == "ivf":
+            keys, dists = self.ivf.batch_search(queries, k)
         elif strategy == "hybrid":
             lk, ld = self.lsh.batch_search(queries, k)
             gk, gd = self.graph.batch_search(queries, k,
@@ -712,6 +733,9 @@ class AdaptiveHybridIndex:
     def close(self) -> None:
         self.exact.close()
         self.lsh.close()
+        close_ivf = getattr(self.ivf, "close", None)
+        if close_ivf is not None:
+            close_ivf()
         for ex in self.capacity.values():
             ex.close()
         if self.stream is not None:

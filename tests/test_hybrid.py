@@ -663,3 +663,71 @@ def test_bandit_stream_arm_serves_and_is_probed(tmp_path):
     assert idx.delete(0)
     assert len(idx.stream) == n - 1
     idx.close()
+
+
+def test_bandit_ivf_arm_elected_on_clustered_data():
+    """VERDICT r4 item 4: the bandit's IVF arm. On clustered >=50k data
+    the auto-nprobe IVF tier meets the recall floor while a graph arm
+    at its configured ef and the LSH buckets measure below it — the
+    meets-target-first selection key must elect ivf over both
+    regardless of their latency edge."""
+    from hnsw_tpu.config import AdaptiveConfig
+    from hnsw_tpu.index.adaptive import AdaptiveHybridIndex
+    from hnsw_tpu.telemetry import QueryMetrics
+
+    n, d, k = 50_000, 32, 10
+    rng = np.random.default_rng(11)
+    nc = 500
+    centers = rng.standard_normal((nc, d)).astype(np.float32) * 5
+    data = (centers[rng.integers(0, nc, n)]
+            + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    q = (centers[rng.integers(0, nc, 32)]
+         + 0.3 * rng.standard_normal((32, d)).astype(np.float32))
+
+    idx = AdaptiveHybridIndex(adaptive_config=AdaptiveConfig(
+        recall_probe_interval=1, recall_target=0.95,
+        exploration_factor=1.0))
+    assert "ivf" in idx.selector.explore
+    idx.batch_add(list(range(n)), data)
+    assert len(idx.ivf) == n            # writes fan out to the arm
+
+    # pin exploration to the ivf arm: call 1 warms it, call 2 records
+    # its probed recall (one probe interval)
+    idx.selector.explore = ("ivf",)
+    for _ in range(2):
+        out = idx.batch_search(q, k)
+    st = idx.selector.metrics.stats("ivf")
+    assert st is not None and st.avg_recall() is not None
+    assert st.avg_recall() >= 0.95, st.avg_recall()
+    assert idx._backstop_arm("ivf") is None   # meets the floor
+
+    _, gt = np_exact_topk(q, data, k, "cosine")
+    rec = np.mean([len({kk for kk, _ in out[i]} & set(map(int, gt[i])))
+                   / k for i in range(len(q))])
+    assert rec >= 0.95, rec
+
+    # competitors measured below the floor but faster: the quality
+    # floor must still elect ivf over both (the exact arm is popped —
+    # this assertion is specifically ivf-vs-hnsw/lsh arbitration)
+    for arm in ("hnsw", "lsh"):
+        for _ in range(5):
+            idx.selector.record(QueryMetrics(
+                strategy=arm, duration_s=1e-4, result_count=k,
+                success=True, recall=0.5))
+    idx.selector.metrics.by_strategy.pop("exact", None)
+    pick = idx.selector._select_by_performance()
+    assert pick == "ivf", pick
+
+    # ...and a non-exploring batch then SERVES through the elected arm
+    idx.selector.cfg = AdaptiveConfig(
+        recall_probe_interval=1, recall_target=0.95,
+        exploration_factor=0.0)
+    before = idx.selector.metrics.stats("ivf").count
+    out2 = idx.batch_search(q, k)
+    assert idx.selector.metrics.stats("ivf").count > before
+    rec2 = np.mean([len({kk for kk, _ in out2[i]} & set(map(int, gt[i])))
+                    / k for i in range(len(q))])
+    assert rec2 >= 0.95, rec2
+    assert idx.delete(0)                # deletes fan out to the arm
+    assert len(idx.ivf) == n - 1
+    idx.close()
