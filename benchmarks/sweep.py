@@ -43,6 +43,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--big", action="store_true",
+                    help="append device-generated 1M/8M exact-tier "
+                         "roofline rows (mfu/floor_frac; TPU, ~5 min)")
     args = ap.parse_args()
 
     if args.cpu or args.small:
@@ -137,19 +140,25 @@ def main():
         g._ef_calib.clear()
     g._ef_default = None
 
+    from hnsw_tpu.utils.roofline import matmul_floor_dt, roofline_fields
     sq = dev.sq_norms
-    f = lambda: exact_topk(qd, dev.vectors, sq, dev.alive, k=k,
-                           metric="cosine")
-    r = f(); r[0].block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(3):
-        r = f()
-    r[0].block_until_ready()
-    dt = (time.perf_counter() - t0) / 3
-    emit({"config": "cosine_10kx128", "strategy": "exact",
-          "qps": round(n_q / dt, 0),
-          "recall@10": round(recall_of(np.asarray(r[1]), gt, k), 4),
-          "platform": platform})
+    for fast in (False, True):
+        f = lambda: exact_topk(qd, dev.vectors, sq, dev.alive, k=k,
+                               metric="cosine", fast_math=fast)
+        r = f(); r[0].block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            r = f()
+        r[0].block_until_ready()
+        dt = (time.perf_counter() - t0) / 3
+        floor = matmul_floor_dt(qd, dev.vectors, fast_math=fast)
+        emit({"config": "cosine_10kx128",
+              "strategy": "exact_fast" if fast else "exact",
+              "qps": round(n_q / dt, 0),
+              "recall@10": round(recall_of(np.asarray(r[1]), gt, k), 4),
+              **roofline_fields(n_q=n_q, n=n, d=d, dt=dt, floor_dt=floor,
+                                platform=platform),
+              "platform": platform})
 
     ivf = IVFIndex(num_partitions=32, nprobe=8, kmeans_iters=5)
     ivf.build(list(range(n)), data)
@@ -470,7 +479,8 @@ def main():
         v512 = jnp.asarray(data512)
         sq512 = jnp.sum(v512 * v512, axis=1)
         alive512 = jnp.ones((n,), bool)
-        f = lambda: exact_topk(jnp.asarray(q512), v512, sq512, alive512,
+        q512d = jnp.asarray(q512)
+        f = lambda: exact_topk(q512d, v512, sq512, alive512,
                                k=k, metric="cosine")
         r = f(); r[0].block_until_ready()
         t0 = time.perf_counter()
@@ -481,7 +491,47 @@ def main():
         emit({"config": "cosine_10kx512", "strategy": "exact",
               "qps": round(256 / dt, 0),
               "recall@10": round(recall_of(np.asarray(r[1]), gt512, k), 4),
+              **roofline_fields(n_q=256, n=n, d=d512, dt=dt,
+                                floor_dt=matmul_floor_dt(
+                                    q512d, v512, fast_math=False),
+                                platform=platform),
               "platform": platform})
+
+    # ---- config 8 (--big): large-N exact-tier roofline ladder ------------
+    # VERDICT r4 item 8: publish mfu/floor_frac at 1M/8M so exact-tier
+    # regressions show as ratios against this run's OWN matmul floor,
+    # not absolute-qps lottery draws through the relay. Data generated
+    # ON DEVICE (host gen of 8M x 128 is ~70 min on this single core).
+    if args.big and not args.small:
+        for nn in (1 << 20, 8 << 20):
+            kv, kq = jax.random.split(jax.random.PRNGKey(7))
+            vb = jax.random.normal(kv, (nn, d), jnp.float32)
+            sqb = jnp.sum(vb * vb, axis=1)
+            alb = jnp.ones((nn,), bool)
+            qbig = jax.random.normal(kq, (8192, d), jnp.float32)
+            gt_big = np.asarray(exact_topk(qbig, vb, sqb, alb, k=k,
+                                           metric="cosine")[1])
+            for fast in ((False, True) if nn <= 1 << 20 else (True,)):
+                fexa = lambda: exact_topk(qbig, vb, sqb, alb, k=k,
+                                          metric="cosine", fast_math=fast)
+                r = fexa(); jax.block_until_ready(r)
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    r = fexa()
+                jax.block_until_ready(r)
+                dt = (time.perf_counter() - t0) / 3
+                emit({"config": f"exact_roofline_{nn >> 20}m",
+                      "strategy": "exact_fast" if fast else "exact",
+                      "qps": round(8192 / dt, 0),
+                      "recall@10": round(
+                          recall_of(np.asarray(r[1]), gt_big, k), 4),
+                      **roofline_fields(
+                          n_q=8192, n=nn, d=d, dt=dt,
+                          floor_dt=matmul_floor_dt(qbig, vb,
+                                                   fast_math=fast),
+                          platform=platform),
+                      "platform": platform})
+            del vb, sqb, alb, qbig
 
     from hnsw_tpu.utils.surface import BasicSurface, VectorDistance
     vd = VectorDistance(BasicSurface("cosine"))
