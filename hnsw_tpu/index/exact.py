@@ -426,18 +426,28 @@ class ExactIndex:
         n = self.slots.capacity_used
         if native.available():
             c = self._host_scan_arrays()
-            margin = (max(16, k // 2) if c["rows"].dtype == np.int8
-                      else max(8, k // 2))
-            kk = min(max(n, k), k + margin)
-            res = native.exact_scan(
-                c["rows"], queries, k, self.metric, kk=kk,
-                sq_norms=c["sq"], scales=c["scales"],
-                row_sums=c["row_sums"], alive=c["alive"],
-                rr_rows=c["rr_rows"], rr_sq=c["rr_sq"])
-            if res is not None:
-                d, i = res
-                i = np.where(d >= INF_DIST, -1, i)
-                return d, i
+            # pre-marshalled call per (sidecar snapshot, k): the generic
+            # wrapper's per-call ctypes construction + revalidation was
+            # ~40% of the single-query p50 (lat_micro6 layer deltas);
+            # the cache dies with the sidecar on any mutation
+            prep = c.setdefault("prepared", {}).get(k)
+            if prep is None:
+                margin = (max(16, k // 2) if c["rows"].dtype == np.int8
+                          else max(8, k // 2))
+                prep = native.PreparedScan(
+                    c["rows"], k, min(max(n, k), k + margin),
+                    self.metric, sq_norms=c["sq"], scales=c["scales"],
+                    row_sums=c["row_sums"], alive=c["alive"],
+                    rr_rows=c["rr_rows"], rr_sq=c["rr_sq"])
+                c["prepared"][k] = prep
+            if prep.ok:
+                if not queries.flags["C_CONTIGUOUS"]:
+                    queries = np.ascontiguousarray(queries)
+                res = prep(queries)
+                if res is not None:
+                    d, i = res
+                    i = np.where(d >= INF_DIST, -1, i)
+                    return d, i
         v = self.store.vectors[:n]
         sq = self.store.sq_norms[:n]
         alive = self.store.alive[:n]

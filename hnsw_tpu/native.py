@@ -227,6 +227,71 @@ _SCAN_DTYPE = {np.dtype(np.float32): 0, np.dtype(np.float16): 1,
                np.dtype(np.int8): 2}
 
 
+class PreparedScan:
+    """Pre-marshalled hnsw_exact_scan call for the latency tier.
+
+    lat_micro6 dissection (10k x 128 int8 rows, single query): the raw
+    C scan is ~0.15 ms while the generic ``exact_scan`` wrapper +
+    ExactIndex plumbing nearly doubled it — per-call ctypes argument
+    construction, ascontiguousarray revalidation, and margin/dtype
+    re-derivation, all invariant across calls. This object builds the
+    fixed argument tuple ONCE per (store snapshot, k); per call it only
+    wraps the query pointer and two freshly allocated output arrays
+    (allocation keeps it thread-safe under concurrent readers).
+    """
+
+    def __init__(self, rows: np.ndarray, k: int, kk: int, metric: str,
+                 sq_norms=None, scales=None, row_sums=None, alive=None,
+                 rr_rows=None, rr_sq=None):
+        lib = get_lib()
+        dt = _SCAN_DTYPE.get(rows.dtype) if lib is not None else None
+        self.ok = (lib is not None and dt is not None
+                   and metric in _METRIC_CODE
+                   and rows.flags["C_CONTIGUOUS"])
+        if not self.ok:
+            return
+        self._lib = lib
+        self.k = int(k)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        null_f = ctypes.cast(None, f32p)
+        n, d = rows.shape
+        # keep array refs alive for the lifetime of the prepared call
+        self._keep = (rows, sq_norms, scales, row_sums, alive, rr_rows,
+                      rr_sq)
+        self._fixed = (
+            rows.ctypes.data_as(ctypes.c_void_p), ctypes.c_int32(dt),
+            _ptr(sq_norms, f32p) if sq_norms is not None else null_f,
+            _ptr(scales, f32p) if scales is not None else null_f,
+            (_ptr(row_sums, i32p) if row_sums is not None
+             else ctypes.cast(None, i32p)),
+            (alive.ctypes.data_as(ctypes.c_void_p)
+             if alive is not None else None),
+            ctypes.c_int64(n), ctypes.c_int32(d),
+            ctypes.c_int32(_METRIC_CODE[metric]),
+            _ptr(rr_rows, f32p) if rr_rows is not None else null_f,
+            _ptr(rr_sq, f32p) if rr_sq is not None else null_f)
+        self._tail = (ctypes.c_int32(k),
+                      ctypes.c_int32(max(k, min(int(kk), max(n, k)))))
+        self._f32p = f32p
+        self._i64p = ctypes.POINTER(ctypes.c_int64)
+
+    def __call__(self, queries: np.ndarray):
+        """queries [B, D] float32 C-contiguous (caller guarantees);
+        returns (dists [B, k] f32, ids [B, k] i64) or None on error."""
+        n_q = queries.shape[0]
+        out_ids = np.empty((n_q, self.k), np.int64)
+        out_d = np.empty((n_q, self.k), np.float32)
+        rc = self._lib.hnsw_exact_scan(
+            *self._fixed, queries.ctypes.data_as(self._f32p),
+            ctypes.c_int64(n_q), *self._tail,
+            out_ids.ctypes.data_as(self._i64p),
+            out_d.ctypes.data_as(self._f32p))
+        if rc != 0:
+            return None
+        return out_d, out_ids
+
+
 def exact_scan(rows: np.ndarray, queries: np.ndarray, k: int,
                metric: str, kk: Optional[int] = None,
                sq_norms: Optional[np.ndarray] = None,
