@@ -523,3 +523,25 @@ def test_rowsharded_fp16_capacity_rows():
     overlap = sum(len(set(map(int, i32[r])) & set(map(int, i16[r])))
                   for r in range(len(i32))) / i32.size
     assert overlap >= 0.9, f"fp16 rows overlap {overlap:.3f}"
+
+
+def test_rowsharded_prefolds_deleted_nodes():
+    """make_row_shards must fold edges to tombstoned nodes to -1 (the
+    state.from_host prefold contract): deleted keys never surface."""
+    from hnsw_tpu.parallel.rowsharded import (make_row_shards,
+                                              rowsharded_graph_search)
+
+    rng = np.random.default_rng(35)
+    n, d, k = 1024, 32, 5
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    g = Graph(m=8, seed=0)
+    g.build(list(range(n)), v, wave=512)
+    dead = list(range(0, n, 7))
+    g.batch_delete(dead)
+    shards = make_row_shards(g, 8)
+    q = v[1:9] + 0.01 * rng.standard_normal((8, d)).astype(np.float32)
+    _, ik = rowsharded_graph_search(shards, jnp.asarray(q), k=k, ef=64,
+                                    mesh=default_mesh())
+    ik = np.asarray(ik)
+    dead_set = set(dead)
+    assert not any(int(s) in dead_set for row in ik for s in row if s >= 0)
