@@ -51,6 +51,17 @@ def main():
                                 metric="l2", mesh=mesh)
     print("row-sharded exact ids[0]:", np.asarray(i2)[0])
 
+    # ONE graph larger than a single chip: layer-0 rows sharded over
+    # the mesh, per-hop frontier exchange as owner-masked psum
+    # (parallel/rowsharded — the reference's distributed sketch,
+    # hnsw-extensions.md:233-271, built TPU-native)
+    from hnsw_tpu.parallel.rowsharded import (make_row_shards,
+                                              rowsharded_graph_search)
+    shards = make_row_shards(g, n_dev)
+    d3, i3 = rowsharded_graph_search(shards, queries[:16], k=5, ef=64,
+                                     metric="cosine", mesh=mesh)
+    print("row-sharded SINGLE graph ids[0]:", np.asarray(i3)[0])
+
 
 if __name__ == "__main__":
     main()
