@@ -181,3 +181,38 @@ def test_rwlock_writer_priority_beats_read_storm():
     for t in ts:
         t.join(5)
     assert ok, "writer starved by read storm"
+
+
+def test_exact_latency_tier_concurrent_readers():
+    """The pre-marshalled PreparedScan object is shared by concurrent
+    single-query readers (fixed args immutable, outputs allocated per
+    call) — a reader storm must return exact results throughout."""
+    import threading
+
+    from hnsw_tpu.index.exact import ExactIndex
+
+    n, d, k = 4096, 128, 5
+    rng = np.random.default_rng(21)
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    ex = ExactIndex(metric="cosine")
+    ex.batch_add(list(range(n)), docs)
+    ex.search(docs[0], k)          # build sidecar + prepared call once
+
+    errs = []
+
+    def storm(tid):
+        try:
+            for i in range(50):
+                qi = (tid * 50 + i) % n
+                res = ex.search(docs[qi], k)
+                assert res[0][0] == qi and res[0][1] < 1e-5, (qi, res[0])
+        except Exception as e:      # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=storm, args=(t,))
+               for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
