@@ -101,6 +101,25 @@ def make_data(n, d, n_q, seed=0, base_too=True):
     return base, queries
 
 
+def _serve_partial_fp16(err, queries, n, k, B, wave, fp16):
+    """Deadline-aborted build: serve the inserted prefix IN-PROCESS.
+
+    The builder synced host arrays and wrote the checkpoint before
+    raising, and attached the graph to the exception — so instead of
+    ending the round with an unserved 32 GB checkpoint (the round-4
+    failure mode), we tombstone the never-inserted tail and run the
+    same fp16 ladder on the N-that-landed. Rows carry the true served
+    count; the on-disk checkpoint stays resumable."""
+    g = getattr(err, "graph", None)
+    if g is None or not fp16:
+        return
+    n_served = g.mask_pending_for_serve()
+    emit({"op": "device_build_partial_served", "n": n,
+          "n_served": n_served, "wave": wave, "kind": "clustered",
+          "note": "deadline abort; serving the inserted prefix"})
+    _serve_fp16(g, queries, n_served, k, B, emit)
+
+
 def _serve_fp16(g, queries, n, k, B, emit):
     """hbm_mode="float16" capacity serving: fp16 traversal store +
     exact f32 host rerank. GT = fp16 device scan at k+8 reranked
@@ -210,7 +229,9 @@ def main():
                     quant_descent=False,
                     descent_dtype="float16" if fp16 else "float32",
                     checkpoint_path=cache,
-                    checkpoint_every=256 if n > 10_000_000 else 128,
+                    checkpoint_every=int(os.environ.get(
+                        "HNSW_TPU_CKPT_EVERY",
+                        256 if n > 10_000_000 else 128)),
                     abort_deadline=abort_at)
         except BuildDeadlineExceeded as e:
             emit({"op": "device_build_partial", "n": n, "wave": wave,
@@ -218,6 +239,7 @@ def main():
                   "descent_dtype": "float16" if fp16 else "float32",
                   "seconds": round(time.perf_counter() - t0, 1),
                   "checkpoint": cache, "note": str(e)})
+            _serve_partial_fp16(e, queries, n, k, B, wave, fp16)
             return
         build_s = time.perf_counter() - t0
         emit({"op": "device_build", "n": n, "wave": wave,
@@ -241,7 +263,9 @@ def main():
             g = Graph.resume_build(
                 cache, wave=wave,
                 descent_dtype="float16" if fp16 else "float32",
-                checkpoint_every=256 if n > 10_000_000 else 128,
+                checkpoint_every=int(os.environ.get(
+                    "HNSW_TPU_CKPT_EVERY",
+                    256 if n > 10_000_000 else 128)),
                 abort_deadline=abort_at)
         except BuildDeadlineExceeded as e:
             emit({"op": "device_build_partial", "n": n, "wave": wave,
@@ -249,6 +273,7 @@ def main():
                   "descent_dtype": "float16" if fp16 else "float32",
                   "seconds": round(time.perf_counter() - t0, 1),
                   "checkpoint": cache, "note": str(e)})
+            _serve_partial_fp16(e, queries, n, k, B, wave, fp16)
             return
         print(f"# cache load: {time.perf_counter() - t0:.0f}s", flush=True)
 

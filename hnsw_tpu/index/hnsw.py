@@ -432,11 +432,14 @@ class Graph:
                         hint = ("; resume with Graph.resume_build"
                                 if checkpoint_path is not None else
                                 " (no checkpoint_path: not resumable)")
-                        raise BuildDeadlineExceeded(
+                        err = BuildDeadlineExceeded(
                             f"host build deadline: {c0 + step}/{len(sl)}"
                             f" inserted{hint}")
+                        err.graph = self   # servable partial prefix
+                        raise err
         else:
-            from hnsw_tpu.core.build_device import bulk_insert_device
+            from hnsw_tpu.core.build_device import (BuildDeadlineExceeded,
+                                                    bulk_insert_device)
             on_ckpt = None
             if checkpoint_path is not None:
                 from hnsw_tpu.io.codec import save_graph
@@ -444,13 +447,21 @@ class Graph:
                 def on_ckpt(done, _p=checkpoint_path):
                     save_graph(self, _p)
                 on_ckpt.checkpoint_path = checkpoint_path
-            bulk_insert_device(self.host, slot_list, wave=wave,
-                               quant_descent=quant_descent,
-                               block_m=block_m,
-                               descent_dtype=descent_dtype,
-                               on_checkpoint=on_ckpt,
-                               checkpoint_every=checkpoint_every,
-                               abort_deadline=abort_deadline)
+            try:
+                bulk_insert_device(self.host, slot_list, wave=wave,
+                                   quant_descent=quant_descent,
+                                   block_m=block_m,
+                                   descent_dtype=descent_dtype,
+                                   on_checkpoint=on_ckpt,
+                                   checkpoint_every=checkpoint_every,
+                                   abort_deadline=abort_deadline)
+            except BuildDeadlineExceeded as e:
+                # host arrays were synced (and the checkpoint written)
+                # before the raise — the caller can still SERVE the
+                # inserted prefix this round instead of only resuming
+                # next round (mask_pending_for_serve below)
+                e.graph = self
+                raise
         if checkpoint_path is not None:
             # final, complete — written for the HOST path too (a
             # minutes-scale native build still honors the contract that
@@ -510,27 +521,58 @@ class Graph:
                         import time as _time
                         if (abort_deadline is not None
                                 and _time.time() >= abort_deadline):
-                            raise BuildDeadlineExceeded(
+                            err = BuildDeadlineExceeded(
                                 f"host resume deadline: "
                                 f"{c0 + step}/{len(pl)} inserted")
+                            err.graph = g
+                            raise err
             else:
-                from hnsw_tpu.core.build_device import bulk_insert_device
+                from hnsw_tpu.core.build_device import (
+                    BuildDeadlineExceeded, bulk_insert_device)
 
                 def on_ckpt(done, _p=checkpoint_path):
                     save_graph(g, _p)
                 on_ckpt.checkpoint_path = checkpoint_path
-                bulk_insert_device(host, pending, wave=wave,
-                                   quant_descent=quant_descent,
-                                   block_m=block_m,
-                                   descent_dtype=descent_dtype,
-                                   on_checkpoint=on_ckpt,
-                                   checkpoint_every=checkpoint_every,
-                                   abort_deadline=abort_deadline)
+                try:
+                    bulk_insert_device(host, pending, wave=wave,
+                                       quant_descent=quant_descent,
+                                       block_m=block_m,
+                                       descent_dtype=descent_dtype,
+                                       on_checkpoint=on_ckpt,
+                                       checkpoint_every=checkpoint_every,
+                                       abort_deadline=abort_deadline)
+                except BuildDeadlineExceeded as e:
+                    e.graph = g   # servable partial prefix (see build)
+                    raise
             save_graph(g, checkpoint_path)
             g._block_fit_cache = None
             g._mut_since_fit = 0
             g._dirty = True
         return g
+
+    def mask_pending_for_serve(self) -> int:
+        """Make a deadline-aborted build's inserted PREFIX servable.
+
+        A bulk build assigns every key a slot (and stores its vector)
+        up front; ``BuildDeadlineExceeded`` leaves the never-inserted
+        tail marked ``level < 0`` with no in-edges — graph traversal
+        cannot reach it, but the exact/GT tiers scan ``store.alive``,
+        which batch_add set True at slot assignment. Tombstone that
+        tail IN MEMORY ONLY (the on-disk checkpoint keeps its level<0
+        markers, so ``Graph.resume_build`` can still finish later) and
+        return the servable node count. Reference parity: the Go
+        builder has no aborted-bulk-serve notion — this exists for the
+        deadline-bounded multi-hour device builds
+        (/root/reference/hnsw-extensions/parquet/graph.go:25 regime).
+        """
+        cap = min(len(self.store.alive) if self.store.alive is not None
+                  else 0, len(self.host.levels))
+        if cap:
+            pending = self.host.levels[:cap] < 0
+            if pending.any():
+                self.store.alive[:cap] &= ~pending
+                self._dirty = True
+        return int(self.store.alive[:cap].sum()) if cap else 0
 
     @_writes
     def refine(self, wave: int = 2048, slots=None,

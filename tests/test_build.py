@@ -333,6 +333,44 @@ def test_build_abort_deadline_checkpoints_and_resumes(tmp_path):
     assert rec >= 0.85, rec
 
 
+def test_deadline_abort_serves_inserted_prefix(tmp_path):
+    """A deadline-aborted bulk build is SERVABLE, not just resumable:
+    the exception carries the partial graph, mask_pending_for_serve
+    tombstones the never-inserted tail (slot-assigned, alive=True,
+    level<0 — invisible to traversal but not to exact scans), and
+    searches over the prefix match a prefix-only oracle. The on-disk
+    checkpoint keeps its level<0 markers so resume_build still works."""
+    from hnsw_tpu.core.build_device import BuildDeadlineExceeded
+
+    n, d, k = 1500, 32, 10
+    vecs = make_vectors(n, d, seed=7)
+    ckpt = str(tmp_path / "deadline.npz")
+
+    g = Graph(m=8, metric="cosine", seed=0)
+    with pytest.raises(BuildDeadlineExceeded) as ei:
+        g.build(list(range(n)), vecs, method="device", wave=256,
+                checkpoint_path=ckpt, abort_deadline=0.0)
+    gp = ei.value.graph
+    assert gp is g
+    n_served = gp.mask_pending_for_serve()
+    inserted = int((gp.host.levels >= 0).sum())
+    assert n_served == inserted and 256 <= n_served < n
+
+    # exact tier over the masked store == prefix-only oracle
+    q = make_vectors(32, d, seed=99)
+    _, gt = np_exact_topk(q, vecs[:n_served], k, "cosine")
+    kk, _ = gp.batch_search(q, k, ef=192)
+    rec = np.mean([len(set(kk[r]) & set(map(int, gt[r]))) / k
+                   for r in range(32)])
+    assert rec >= 0.85, rec
+    served = {int(key) for row in kk for key in row}
+    assert max(served) < n_served, "served a never-inserted slot"
+
+    # the checkpoint is still a resumable PARTIAL (masking was in-mem)
+    g2 = Graph.resume_build(ckpt, wave=256)
+    assert g2.host.count == n
+
+
 @pytest.mark.skipif(not __import__("os").environ.get("HNSW_TPU_SLOW"),
                     reason="slow seq-vs-wave anchor; set HNSW_TPU_SLOW=1")
 def test_seq_vs_wave_anchor_midscale():
